@@ -1,0 +1,150 @@
+"""Bezier surface construction/evaluation tests.
+
+Covers what the reference never unit-tested (its gtest suite stops at L1):
+control-net structure, C0/C1 continuity across patch edges, height slabs,
+divider-plane domains, and tessellation.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu import geom
+from cbtr_tpu.bezier import (
+    BezierPatches,
+    build_from_trimesh,
+    interpolate,
+    interpolate_linear,
+    patch_normal,
+    tessellate_to_numpy,
+)
+from cbtr_tpu.bezier.patches import CP300, CP030, CP003
+from cbtr_tpu.harness import preprocess
+from cbtr_tpu.mesh.core import make_ellipsoid, make_unit_sphere
+
+
+@pytest.fixture(scope="module")
+def sphere_patches():
+    mesh = preprocess(make_unit_sphere(7, 3))
+    return mesh, build_from_trimesh(mesh)
+
+
+def test_corner_control_points_interpolate_exactly(sphere_patches):
+    _, patches = sphere_patches
+    cp = patches.control_points
+    for bary, idx in [((1, 0, 0), CP300), ((0, 1, 0), CP030), ((0, 0, 1), CP003)]:
+        pts = interpolate(cp, jnp.asarray(bary, jnp.float32))
+        np.testing.assert_allclose(pts, cp[:, idx, :], atol=1e-5)
+
+
+def test_linear_interpolation_is_corner_mix(sphere_patches):
+    _, patches = sphere_patches
+    bary = jnp.asarray([0.25, 0.35, 0.4], jnp.float32)
+    got = interpolate_linear(patches.control_points, bary)
+    want = (
+        0.25 * patches.control_points[:, CP300]
+        + 0.35 * patches.control_points[:, CP030]
+        + 0.4 * patches.control_points[:, CP003]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_corner_vertices_match_original_mesh(sphere_patches):
+    mesh, patches = sphere_patches
+    cp = np.asarray(patches.control_points).reshape(len(mesh), 3, 10, 3)
+    v0 = mesh.tris  # corner i
+    v1 = np.roll(mesh.tris, -1, axis=1)
+    np.testing.assert_allclose(cp[:, :, CP300, :], v0, atol=1e-6)
+    np.testing.assert_allclose(cp[:, :, CP030, :], v1, atol=1e-6)
+
+
+def test_c0_continuity_across_internal_split_edges(sphere_patches):
+    """Patch i and same-face patch i+1 share the edge (v_{i+1}, centroid-point):
+    bary (0,t,1-t) on i must equal (t,0,1-t) on i+1."""
+    _, patches = sphere_patches
+    cp = patches.control_points
+    P = cp.shape[0]
+    nxt = np.arange(P).reshape(-1, 3)[:, [1, 2, 0]].reshape(-1)
+    for t in (0.0, 0.3, 0.5, 0.8, 1.0):
+        a = interpolate(cp, jnp.asarray([0.0, t, 1.0 - t], jnp.float32))
+        b = interpolate(cp[nxt], jnp.asarray([t, 0.0, 1.0 - t], jnp.float32))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_c0_continuity_across_original_edges(sphere_patches):
+    """Across an original mesh edge the fellow patch parameterizes the shared
+    side in the opposite direction: (t,1-t,0) here == (1-t,t,0) there."""
+    _, patches = sphere_patches
+    cp = patches.control_points
+    fellow = np.asarray(patches.neighbours[:, 0])
+    for t in (0.0, 0.25, 0.5, 0.9, 1.0):
+        a = interpolate(cp, jnp.asarray([t, 1.0 - t, 0.0], jnp.float32))
+        b = interpolate(cp[fellow], jnp.asarray([1.0 - t, t, 0.0], jnp.float32))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_c1_continuity_normals_across_original_edges(sphere_patches):
+    """Tangent-plane (G1) continuity: surface normals from both sides of an
+    original edge agree along the edge (the whole point of the common-plane
+    construction, reference/bezierTriangle.cpp:16)."""
+    _, patches = sphere_patches
+    cp = patches.control_points
+    fellow = np.asarray(patches.neighbours[:, 0])
+    for t in (0.1, 0.5, 0.9):
+        n_a = patch_normal(cp, patches.deriv_b, jnp.asarray([t, 1.0 - t, 0.0], jnp.float32))
+        n_b = patch_normal(
+            cp[fellow], patches.deriv_b[fellow], jnp.asarray([1.0 - t, t, 0.0], jnp.float32)
+        )
+        # normals computed on opposite orientations of the same edge point the
+        # same way (outwards); require close alignment
+        align = np.sum(np.asarray(n_a) * np.asarray(n_b), axis=-1)
+        assert np.min(align) > 0.99, f"t={t}: worst alignment {np.min(align)}"
+
+
+def test_surface_within_height_slab(sphere_patches):
+    """Dense surface samples stay inside the safety-factored height slab
+    (reference/bezierTriangle.cpp:71-82 computes the slab from divisor-5
+    samples x 4/3; divisor-9 samples must still fit)."""
+    _, patches = sphere_patches
+    lattice = jnp.asarray(geom.subdivision_lattice(9))
+    pts = interpolate(patches.control_points[:, None, :, :], lattice[None, :, :])
+    dist = np.asarray(geom.plane_distance(patches.underlying[:, None, :], pts))
+    h = np.asarray(patches.heights)
+    assert (dist.min(axis=1) >= h[:, 0] - 1e-4).all()
+    assert (dist.max(axis=1) <= h[:, 1] + 1e-4).all()
+
+
+def test_divider_planes_nonnegative_on_own_domain(sphere_patches):
+    """Any point of the patch has distance >= 0 from all three divider planes
+    (reference/bezierTriangle.h:67)."""
+    _, patches = sphere_patches
+    lattice = jnp.asarray(geom.subdivision_lattice(6))
+    pts = interpolate(patches.control_points[:, None, :, :], lattice[None, :, :])
+    d = geom.plane_distance(patches.dividers[:, None, :, :], pts[:, :, None, :])
+    assert float(jnp.min(d)) > -2e-2  # small negatives: curved edge vs flat plane
+
+
+def test_normal_points_outward_on_sphere(sphere_patches):
+    """On the unit sphere every surface normal aligns with the position."""
+    _, patches = sphere_patches
+    bary = jnp.asarray([1.0 / 3, 1.0 / 3, 1.0 / 3], jnp.float32)
+    pts = interpolate(patches.control_points, bary)
+    n = patch_normal(patches.control_points, patches.deriv_b, bary)
+    align = np.sum(np.asarray(n) * np.asarray(geom.safe_normalize(pts)), axis=-1)
+    assert np.min(align) > 0.95
+
+
+def test_tessellate_counts_and_on_surface():
+    mesh = preprocess(make_ellipsoid(7, 3, (1.0, 4.0, 2.0)))
+    patches = build_from_trimesh(mesh)
+    tris = tessellate_to_numpy(patches, 4)
+    assert tris.shape == (len(mesh) * 3 * 16, 3, 3)
+    assert np.isfinite(tris).all()
+
+
+def test_patches_row_gather(sphere_patches):
+    _, patches = sphere_patches
+    sub = patches.row(jnp.asarray([3, 1, 4], jnp.int32))
+    assert sub.control_points.shape == (3, 10, 3)
+    np.testing.assert_allclose(
+        np.asarray(sub.control_points[0]), np.asarray(patches.control_points[3])
+    )
