@@ -31,13 +31,17 @@ from .config import DEFAULT as CFG
 # ---------------------------------------------------------------------------
 
 
-def safe_div(num, den, eps: float = 1e-30):
+def safe_div(num, den, eps: float = 1e-12):
     """num/den with a sign-preserving clamp on |den| to avoid inf/NaN.
 
     The reference divides freely (e.g. bezierTriangle.cpp:132-133); on TPU we
     must keep NaNs out of masked lanes, so every division in the hot path goes
     through here. Where the reference's denominator is well-conditioned the
     result is bit-identical in f32.
+
+    eps must stay well above sqrt(f32 denormal): the division VJP computes
+    num/den^2, and den^2 underflowing to 0 turns masked-lane cotangents into
+    0*inf = NaN that pollutes real gradients through the `where` trap.
     """
     den_safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
     return num / den_safe

@@ -1,0 +1,146 @@
+"""Ray-surface intersection tests.
+
+Anchors: analytic sphere geometry (the Bezier surface over a fine sphere
+mesh approximates it to ~1e-3) and the reference's collinearity check
+(reference/test.cpp:237-319: successive entry/exit points of a straight ray
+must stay on its line).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu import geom
+from cbtr_tpu.bezier import build_from_trimesh
+from cbtr_tpu.harness import preprocess
+from cbtr_tpu.mesh.core import make_unit_sphere, make_ellipsoid
+from cbtr_tpu.ops import intersect_rays, WHAT_INTERSECT, WHAT_NONE
+
+
+CENTER = np.array([5.0, 0.0, 0.0], np.float32)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    mesh = preprocess(make_unit_sphere(15, 7))
+    mesh.translate(CENTER)
+    mesh = preprocess(mesh)
+    return build_from_trimesh(mesh)
+
+
+def _rays(n, seed=0):
+    """Random rays from origin roughly toward the displaced sphere."""
+    rng = np.random.default_rng(seed)
+    d = np.concatenate(
+        [np.ones((n, 1)), rng.uniform(-0.12, 0.12, (n, 2))], axis=1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return np.zeros((n, 3), np.float32), d
+
+
+def test_entry_hits_match_analytic_sphere(sphere_scene):
+    start, d = _rays(64)
+    hit = intersect_rays(sphere_scene, jnp.asarray(start), jnp.asarray(d))
+    what = np.asarray(hit.what)
+    assert (what == WHAT_INTERSECT).mean() > 0.95  # rare seam rays may miss
+
+    sel = what == WHAT_INTERSECT
+    pts = np.asarray(hit.point)[sel]
+    # points on the unit sphere around CENTER
+    r = np.linalg.norm(pts - CENTER, axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=5e-3)
+    # analytic first-hit distance
+    oc = -CENTER
+    b = (oc @ d[sel].T)
+    t_analytic = -b - np.sqrt(b**2 - (oc @ oc - 1.0))
+    np.testing.assert_allclose(np.asarray(hit.distance)[sel], t_analytic, atol=5e-3)
+    # entering: normal opposes ray
+    assert (np.asarray(hit.cos_incidence)[sel] < -0.5).all()
+    # normal matches sphere normal
+    n_analytic = (pts - CENTER) / r[:, None]
+    align = np.sum(np.asarray(hit.normal)[sel] * n_analytic, axis=-1)
+    assert align.min() > 0.999
+
+
+def test_miss_returns_none(sphere_scene):
+    start = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray(
+        [[0, 1, 0], [0, 0, 1], [-1, 0, 0], [1, 0.5, 0.5]], jnp.float32
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    hit = intersect_rays(sphere_scene, start, d)
+    assert (np.asarray(hit.what) == WHAT_NONE).all()
+    assert (np.asarray(hit.patch) == -1).all()
+
+
+def test_exit_hit_from_inside(sphere_scene):
+    """Restarting at the entry point yields the exit point (slab gate must
+    not re-report the same surface)."""
+    start, d = _rays(16, seed=3)
+    h1 = intersect_rays(sphere_scene, jnp.asarray(start), jnp.asarray(d))
+    sel = np.asarray(h1.what) == WHAT_INTERSECT
+    s2 = np.asarray(h1.point)[sel]
+    d2 = d[sel]
+    h2 = intersect_rays(sphere_scene, jnp.asarray(s2), jnp.asarray(d2))
+    what2 = np.asarray(h2.what)
+    assert (what2 == WHAT_INTERSECT).mean() > 0.9
+    pts2 = np.asarray(h2.point)[what2 == WHAT_INTERSECT]
+    r2 = np.linalg.norm(pts2 - CENTER, axis=-1)
+    np.testing.assert_allclose(r2, 1.0, atol=5e-3)
+    # exiting: normal along ray
+    assert (np.asarray(h2.cos_incidence)[what2 == WHAT_INTERSECT] > 0.5).all()
+
+
+def test_ray_collinearity_like_reference():
+    """reference/test.cpp:237-319: walk a ray through a solid, collecting
+    entry/exit points; all must lie on the original line.
+
+    Uses a smooth solid of revolution: on the dimpled fixture's concave
+    waist the reference's secant first-estimate (bezierTriangle.cpp:137-152)
+    can extrapolate outside the bracket and lose the exit hit — a faithful
+    limitation of the shared algorithm, reproduced by this implementation.
+    """
+    mesh = preprocess(make_ellipsoid(15, 7, (1.0, 1.0, 2.0)))
+    mesh.translate((5.0, 0.0, 0.0))
+    mesh = preprocess(mesh)
+    patches = build_from_trimesh(mesh)
+
+    d = np.array([1.0, 0.08, 0.05], np.float32)
+    d /= np.linalg.norm(d)
+    start = np.zeros(3, np.float32)
+    points = []
+    s = start.copy()
+    for _ in range(2):
+        hit = intersect_rays(patches, jnp.asarray(s[None]), jnp.asarray(d[None]))
+        if int(hit.what[0]) != WHAT_INTERSECT:
+            break
+        p = np.asarray(hit.point[0])
+        points.append(p)
+        s = p
+    assert len(points) == 2, "expected entry+exit hits"
+    err = geom.ray_average_error_squared(
+        jnp.asarray(start), jnp.asarray(d), jnp.asarray(np.stack(points))
+    )
+    assert float(err) < 1e-8
+
+
+def test_chunked_equals_unchunked(sphere_scene):
+    start, d = _rays(50, seed=7)
+    a = intersect_rays(sphere_scene, jnp.asarray(start), jnp.asarray(d))
+    b = intersect_rays(
+        sphere_scene, jnp.asarray(start), jnp.asarray(d), chunk_size=16
+    )
+    np.testing.assert_array_equal(np.asarray(a.what), np.asarray(b.what))
+    np.testing.assert_allclose(
+        np.asarray(a.point), np.asarray(b.point), atol=1e-6
+    )
+
+
+def test_batch_shape_preserved(sphere_scene):
+    start, d = _rays(12)
+    hit = intersect_rays(
+        sphere_scene,
+        jnp.asarray(start).reshape(3, 4, 3),
+        jnp.asarray(d).reshape(3, 4, 3),
+    )
+    assert hit.what.shape == (3, 4)
+    assert hit.point.shape == (3, 4, 3)

@@ -1,0 +1,151 @@
+"""Refraction tests: Snell's law against analytic sphere-lens optics, TIR
+cutoffs, the expected-state guard, and gradient flow."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu.bezier import build_from_trimesh
+from cbtr_tpu.harness import preprocess
+from cbtr_tpu.mesh.core import make_unit_sphere
+from cbtr_tpu.optics import (
+    REFRACT_INSIDE,
+    REFRACT_NONE,
+    REFRACT_OUTSIDE,
+    refract_rays,
+    trace_through_lens,
+)
+
+CENTER = np.array([5.0, 0.0, 0.0], np.float32)
+N_GLASS = 1.3
+
+
+@pytest.fixture(scope="module")
+def lens_scene():
+    mesh = preprocess(make_unit_sphere(15, 7))
+    mesh.translate(CENTER)
+    mesh = preprocess(mesh)
+    return build_from_trimesh(mesh)
+
+
+def _rays(n, spread=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    d = np.concatenate(
+        [np.ones((n, 1)), rng.uniform(-spread, spread, (n, 2))], axis=1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return np.zeros((n, 3), np.float32), d
+
+
+def _analytic_refract(p, d, normal, n_rel):
+    """Textbook Snell bend for incoming d against outward `normal`."""
+    cos1 = -float(np.dot(d, normal))
+    sin2 = n_rel**2 * (1.0 - cos1**2)
+    cos2 = np.sqrt(1.0 - sin2)
+    t = n_rel * d + (n_rel * cos1 - cos2) * normal
+    return t / np.linalg.norm(t)
+
+
+def test_entry_refraction_matches_snell(lens_scene):
+    start, d = _rays(32)
+    s1, d1, st = refract_rays(
+        lens_scene, N_GLASS, jnp.asarray(start), jnp.asarray(d), REFRACT_INSIDE
+    )
+    st = np.asarray(st)
+    assert (st == REFRACT_INSIDE).mean() > 0.9
+    sel = st == REFRACT_INSIDE
+    p = np.asarray(s1)[sel]
+    dd = np.asarray(d1)[sel]
+    for i in range(sel.sum()):
+        n_out = p[i] - CENTER
+        n_out /= np.linalg.norm(n_out)
+        want = _analytic_refract(d[sel][i], d[sel][i], n_out, 1.0 / N_GLASS)
+        # direction argument: incoming ray direction
+        want = _analytic_refract(p[i], d[sel][i], n_out, 1.0 / N_GLASS)
+        np.testing.assert_allclose(dd[i], want, atol=2e-2)
+
+
+def test_full_lens_pass_focuses_axis_parallel_rays(lens_scene):
+    """A sphere lens bends parallel off-axis rays toward the axis: after the
+    exit refraction the direction must tilt toward -y/-z for +y/+z offsets."""
+    offsets = np.array(
+        [[0.0, 0.3, 0.0], [0.0, -0.3, 0.0], [0.0, 0.0, 0.35], [0.0, 0.2, -0.2]],
+        np.float32,
+    )
+    d = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (4, 1))
+    out_s, out_d, alive, p_in, p_out = trace_through_lens(
+        lens_scene, N_GLASS, jnp.asarray(offsets), jnp.asarray(d)
+    )
+    assert bool(np.asarray(alive).all())
+    out_d = np.asarray(out_d)
+    for i, off in enumerate(offsets):
+        lateral = np.array([0.0, off[1], off[2]])
+        bend = np.array([0.0, out_d[i, 1], out_d[i, 2]])
+        assert np.dot(bend, lateral) < 0.0, f"ray {i} did not bend toward axis"
+    # exit points on the far hemisphere
+    p_out = np.asarray(p_out)
+    assert (p_out[:, 0] > CENTER[0]).all()
+
+
+def test_expected_state_guard_kills_wrong_transition(lens_scene):
+    start, d = _rays(8, seed=2)
+    # expecting OUTSIDE on an entering ray must kill it (reference/bezierLens.cpp:32)
+    _, _, st = refract_rays(
+        lens_scene, N_GLASS, jnp.asarray(start), jnp.asarray(d), REFRACT_OUTSIDE
+    )
+    assert (np.asarray(st) == REFRACT_NONE).all()
+
+
+def test_miss_is_none_and_ray_unchanged(lens_scene):
+    start = jnp.zeros((1, 3), jnp.float32)
+    d = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    s1, d1, st = refract_rays(lens_scene, N_GLASS, start, d, REFRACT_INSIDE)
+    assert int(st[0]) == REFRACT_NONE
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(start))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+
+
+def test_grazing_incidence_tir(lens_scene):
+    """A ray leaving the glass at steep incidence suffers TIR -> cNone.
+    Construct it directly: start inside near the surface, direction nearly
+    tangent."""
+    # inside the sphere near the 'north pole' area, exiting almost tangentially
+    start = jnp.asarray([CENTER + np.array([0.0, 0.0, 0.9], np.float32)])
+    d = jnp.asarray([[1.0, 0.0, 0.12]], jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    _, _, st = refract_rays(lens_scene, 1.8, start, d, REFRACT_OUTSIDE)
+    assert int(st[0]) == REFRACT_NONE
+
+
+def test_gradients_flow_and_match_finite_differences(lens_scene):
+    start = jnp.asarray([[0.0, 0.25, 0.1]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+
+    def exit_y(n_refr):
+        _, out_d, alive, _, p_out = trace_through_lens(lens_scene, n_refr, start, d)
+        # screen at x=8: y coordinate of arrival
+        t = (8.0 - p_out[..., 0]) / out_d[..., 0]
+        return jnp.sum(p_out[..., 1] + t * out_d[..., 1])
+
+    g = jax.grad(exit_y)(jnp.float32(N_GLASS))
+    assert np.isfinite(float(g))
+    eps = 1e-3
+    fd = (exit_y(jnp.float32(N_GLASS + eps)) - exit_y(jnp.float32(N_GLASS - eps))) / (
+        2 * eps
+    )
+    assert float(g) == pytest.approx(float(fd), rel=0.05, abs=1e-3)
+
+
+def test_gradients_wrt_control_points(lens_scene):
+    start = jnp.asarray([[0.0, 0.25, 0.1]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(cp):
+        patches = lens_scene._replace(control_points=cp)
+        _, out_d, alive, _, p_out = trace_through_lens(patches, N_GLASS, start, d)
+        return jnp.sum(jnp.where(alive[..., None], p_out, 0.0) ** 2)
+
+    g = jax.grad(loss)(lens_scene.control_points)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).any(), "no gradient reached the control points"
