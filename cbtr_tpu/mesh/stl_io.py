@@ -77,7 +77,7 @@ def write_stl_binary(path: str, triangles: np.ndarray) -> None:
     records = np.zeros((count, 50), dtype=np.uint8)
     block = np.zeros((count, 4, 3), dtype=np.float32)
     block[:, 1:4, :] = tris
-    records[:, :48] = block.reshape(count, 48).view(np.uint8)
+    records[:, :48] = block.reshape(count, 12).view(np.uint8)
     with open(path, "wb") as out:
         out.write(b"\0" * 80)
         out.write(struct.pack("<I", count))
