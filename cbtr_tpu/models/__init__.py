@@ -1,0 +1,9 @@
+"""Model zoo: ready-made lens scenes and the differentiable lens model."""
+from .scenes import (  # noqa: F401
+    LensScene,
+    sphere_lens_scene,
+    ellipsoid_lens_scene,
+    robot_lens_scene,
+    dimpled_lens_scene,
+)
+from .lens_model import LensParams, lens_forward, lens_loss, make_train_step  # noqa: F401

@@ -1,0 +1,78 @@
+"""Ray-grid generation.
+
+Three generators:
+* `angle_sweep_rays` -- the reference's refraction-test fan
+  (reference/test.cpp:352-360): directions (sqrt(1-sinV^2-sinW^2), sinV, sinW).
+* `ortho_ray_grid` -- parallel beam, the natural emitter for lens
+  illumination simulation (collimated light).
+* `pinhole_ray_grid` -- perspective camera for surface inspection renders.
+
+All return (start [N,3], direction [N,3]) float32, row-major over the grid.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PI
+
+
+def angle_sweep_rays(degrees_v: float, degrees_w: float, count_v: int, count_w: int):
+    """Fan of rays from the origin (reference/test.cpp:352-360)."""
+    v = np.arange(count_v, dtype=np.float32)
+    w = np.arange(count_w, dtype=np.float32)
+    sin_v = np.sin((v * degrees_v + 1.0) * PI / 180.0)
+    sin_w = np.sin((w * degrees_w + 1.0) * PI / 180.0)
+    sv, sw = np.meshgrid(sin_v, sin_w, indexing="ij")
+    x = np.sqrt(np.maximum(1.0 - sv * sv - sw * sw, 0.0))
+    d = np.stack([x, sv, sw], axis=-1).reshape(-1, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    start = np.zeros_like(d)
+    return start, d
+
+
+def ortho_ray_grid(center, direction, up, width: float, height: float,
+                   res_x: int, res_y: int):
+    """Parallel beam: res_x x res_y rays on a width x height rectangle
+    centered at `center`, all travelling along `direction`."""
+    center = np.asarray(center, np.float32)
+    d = np.asarray(direction, np.float32)
+    d = d / np.linalg.norm(d)
+    up = np.asarray(up, np.float32)
+    right = np.cross(d, up)
+    right /= np.linalg.norm(right)
+    v_up = np.cross(right, d)
+
+    xs = (np.arange(res_x, dtype=np.float32) + 0.5) / res_x - 0.5
+    ys = (np.arange(res_y, dtype=np.float32) + 0.5) / res_y - 0.5
+    gx, gy = np.meshgrid(xs * width, ys * height, indexing="ij")
+    start = (
+        center[None, None]
+        + gx[..., None] * right[None, None]
+        + gy[..., None] * v_up[None, None]
+    ).reshape(-1, 3)
+    dirs = np.broadcast_to(d, start.shape)
+    return start.astype(np.float32), np.ascontiguousarray(dirs, np.float32)
+
+
+def pinhole_ray_grid(origin, look_at, up, fov_degrees: float, res_x: int, res_y: int):
+    """Perspective camera ray grid."""
+    origin = np.asarray(origin, np.float32)
+    fwd = np.asarray(look_at, np.float32) - origin
+    fwd /= np.linalg.norm(fwd)
+    up = np.asarray(up, np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    v_up = np.cross(right, fwd)
+
+    half = np.tan(fov_degrees * PI / 360.0)
+    xs = ((np.arange(res_x, dtype=np.float32) + 0.5) / res_x * 2.0 - 1.0) * half
+    ys = ((np.arange(res_y, dtype=np.float32) + 0.5) / res_y * 2.0 - 1.0) * half
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    d = (
+        fwd[None, None]
+        + gx[..., None] * right[None, None]
+        + gy[..., None] * v_up[None, None]
+    ).reshape(-1, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    start = np.broadcast_to(origin, d.shape)
+    return np.ascontiguousarray(start, np.float32), d.astype(np.float32)

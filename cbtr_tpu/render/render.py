@@ -1,0 +1,94 @@
+"""Differentiable image formation.
+
+The reference stops at STL dumps inspected in Blender; the TPU build's
+first-class product is an *image*: rays refract through the lens
+(reference/test.cpp:330-427 state machine), land on a screen plane, and are
+splatted bilinearly into an irradiance image.  The splat keeps the whole
+pipeline differentiable: d(image)/d(control points, refractive index, ray
+origins) flows through hit positions.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import geom
+from ..optics.lens import trace_through_lens
+from ..ops.intersect import WHAT_INTERSECT, intersect_rays
+
+
+def screen_hits(start, direction, screen_plane):
+    """Intersect rays with the screen plane; returns (hit2d [N,2], valid).
+
+    The screen's 2D frame is (u, v) = the two in-plane axes returned by
+    `geom.a_perpendicular` construction."""
+    n = geom.plane_normal(screen_plane)
+    u = geom.a_perpendicular(n)
+    v = jnp.cross(n, u)
+    valid, point, _, _ = geom.plane_ray_intersect(screen_plane, start, direction)
+    hit2d = jnp.stack([geom.dot(point, u), geom.dot(point, v)], axis=-1)
+    return hit2d, valid
+
+
+def splat_bilinear(points2d, weights, extent, resolution: int):
+    """Scatter-add points into a [res, res] image with bilinear footprints.
+
+    points2d [N,2] in [-extent, extent]^2; weights [N] (0 kills a point).
+    Differentiable w.r.t. points2d and weights.
+    """
+    res = resolution
+    xy = (points2d / (2.0 * extent) + 0.5) * res - 0.5
+    x0 = jnp.floor(xy)
+    frac = xy - x0
+    x0i = x0.astype(jnp.int32)
+
+    img = jnp.zeros((res, res), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            wx = frac[:, 0] if dx else 1.0 - frac[:, 0]
+            wy = frac[:, 1] if dy else 1.0 - frac[:, 1]
+            ix = x0i[:, 0] + dx
+            iy = x0i[:, 1] + dy
+            inside = (ix >= 0) & (ix < res) & (iy >= 0) & (iy < res)
+            w = jnp.where(inside, weights * wx * wy, 0.0)
+            img = img.at[jnp.clip(ix, 0, res - 1), jnp.clip(iy, 0, res - 1)].add(
+                w, mode="drop"
+            )
+    return img
+
+
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "chunk_size")
+)
+def render_lens_image(patches, refractive_index, start, direction, screen_plane,
+                      extent: float = 4.0, resolution: int = 128,
+                      chunk_size: int = 0):
+    """Flagship forward model: collimated/emitted rays -> lens entry/exit
+    refraction -> screen splat -> [res, res] irradiance image."""
+    out_s, out_d, alive, _, _ = trace_through_lens(
+        patches, refractive_index, start, direction, chunk_size=chunk_size
+    )
+    hit2d, on_screen = screen_hits(out_s, out_d, screen_plane)
+    w = (alive & on_screen).astype(jnp.float32)
+    # dead rays keep finite positions; weight 0 removes them from the image
+    hit2d = jnp.where((alive & on_screen)[..., None], hit2d, 0.0)
+    return splat_bilinear(hit2d.reshape(-1, 2), w.reshape(-1), extent, resolution)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def render_surface_normals(patches, start, direction, light_dir,
+                           chunk_size: int = 0):
+    """Surface-inspection render: first-hit Lambertian shading + depth.
+
+    Returns (shade [N], depth [N], hit_mask [N]) for a ray batch; the
+    TPU-native replacement for the reference's Blender STL inspection loop.
+    """
+    hit = intersect_rays(patches, start, direction, chunk_size=chunk_size)
+    ok = hit.what == WHAT_INTERSECT
+    light = geom.safe_normalize(jnp.asarray(light_dir, jnp.float32))
+    shade = jnp.clip(-geom.dot(hit.normal, light), 0.0, 1.0)
+    shade = jnp.where(ok, shade, 0.0)
+    depth = jnp.where(ok, hit.distance, 0.0)
+    return shade, depth, ok
