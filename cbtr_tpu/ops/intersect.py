@@ -179,39 +179,65 @@ def patch_candidates(patches: BezierPatches, start, direction, limit_domain):
     return what, distance, surf_pt, normal, bary, cos_out
 
 
-def _intersect_chunk(patches: BezierPatches, start, direction):
-    """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
-    P = patches.num_patches
+def candidates_with_retry(local_patches: BezierPatches,
+                          full_patches: BezierPatches, local_base, start,
+                          direction):
+    """Per-(ray, local patch) candidates after the follow-side retry.
+
+    local_patches: the patch rows this caller scans (a shard or the whole
+    table); full_patches: the complete table the retry gathers neighbour
+    rows from (neighbour ids are global); local_base: global id of
+    local_patches row 0.  start/direction [R,3].
+
+    Returns (what, distance, point, normal, bary, cos, global_patch_id), each
+    [R, P_local(, 3)].
+    """
+    P = local_patches.num_patches
+    R = start.shape[0]
     s = start[:, None, :]  # [R,1,3] broadcast over patches
     d = direction[:, None, :]
 
-    # pass 1: all patches, domain gate ON
-    what1, dist1, pt1, n1, b1, cos1 = patch_candidates(patches, s, d, True)
+    # pass 1: local patches, domain gate ON
+    what1, dist1, pt1, n1, b1, cos1 = patch_candidates(local_patches, s, d, True)
 
     # follow-side retry: evaluate the indicated neighbour, gate OFF
     # (reference/bezierMesh.cpp:213-217)
     follow = what1 < WHAT_NONE
     side = jnp.clip(what1, 0, 2)
     nb = jnp.take_along_axis(
-        jnp.broadcast_to(patches.neighbours[None], (start.shape[0], P, 3)),
+        jnp.broadcast_to(local_patches.neighbours[None], (R, P, 3)),
         side[..., None],
         axis=-1,
     )[..., 0]
     nb = jnp.where(follow, nb, 0)
-    rows = patches.row(nb)  # [R,P] gathered patch rows
+    rows = full_patches.row(nb)  # [R,P] gathered patch rows
     what2, dist2, pt2, n2, b2, cos2 = patch_candidates(rows, s, d, False)
 
-    whatm = jnp.where(follow, what2, what1)
-    distm = jnp.where(follow, dist2, dist1)
-    hit_patch = jnp.where(follow, nb, jnp.broadcast_to(jnp.arange(P), follow.shape))
+    def merge(a2, a1):
+        cond = follow[..., None] if a1.ndim == 3 else follow
+        return jnp.where(cond, a2, a1)
 
-    # min-distance cIntersect wins (reference/bezierMesh.cpp:220-222)
-    considered = whatm == WHAT_INTERSECT
-    key = jnp.where(considered, distm, _BIG)
+    local_ids = local_base + jnp.arange(P, dtype=jnp.int32)
+    hit_patch = jnp.where(follow, nb, jnp.broadcast_to(local_ids, follow.shape))
+    return (
+        merge(what2, what1),
+        merge(dist2, dist1),
+        merge(pt2, pt1),
+        merge(n2, n1),
+        merge(b2, b1),
+        merge(cos2, cos1),
+        hit_patch.astype(jnp.int32),
+    )
+
+
+def select_best(what, dist, pt, n, b, cos, hit_patch) -> RayHit:
+    """Min-distance cIntersect wins (reference/bezierMesh.cpp:220-222);
+    reduces the trailing patch axis."""
+    considered = what == WHAT_INTERSECT
+    key = jnp.where(considered, dist, _BIG)
     best = jnp.argmin(key, axis=-1)  # [R]
 
-    def pick(a2, a1):
-        m = jnp.where(follow[..., None] if a1.ndim == 3 else follow, a2, a1)
+    def pick(m):
         return jnp.take_along_axis(
             m, best[:, None, None] if m.ndim == 3 else best[:, None], axis=1
         ).squeeze(1)
@@ -219,15 +245,19 @@ def _intersect_chunk(patches: BezierPatches, start, direction):
     any_hit = jnp.any(considered, axis=-1)
     return RayHit(
         what=jnp.where(any_hit, WHAT_INTERSECT, WHAT_NONE).astype(jnp.int32),
-        distance=jnp.where(any_hit, pick(dist2, dist1), _BIG),
-        point=pick(pt2, pt1),
-        normal=pick(n2, n1),
-        bary=pick(b2, b1),
-        cos_incidence=pick(cos2, cos1),
-        patch=jnp.where(
-            any_hit, jnp.take_along_axis(hit_patch, best[:, None], 1).squeeze(1), -1
-        ).astype(jnp.int32),
+        distance=jnp.where(any_hit, pick(dist), _BIG),
+        point=pick(pt),
+        normal=pick(n),
+        bary=pick(b),
+        cos_incidence=pick(cos),
+        patch=jnp.where(any_hit, pick(hit_patch), -1).astype(jnp.int32),
     )
+
+
+def _intersect_chunk(patches: BezierPatches, start, direction):
+    """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
+    fields = candidates_with_retry(patches, patches, 0, start, direction)
+    return select_best(*fields)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size",))

@@ -51,7 +51,12 @@ def refract_rays(patches, refractive_index, start, direction, expected,
 
     normal = hit.normal * jnp.where(going_in, 1.0, -1.0)[..., None]
     cos1 = jnp.abs(cos_inc)
-    cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    # TIR lanes would evaluate sqrt at 0 whose reverse-mode derivative is inf
+    # (0-cotangent x inf = NaN polluting the refractive-index gradient); they
+    # are masked out below, so substitute a tame argument.  Surviving lanes
+    # have 1 - sin2 >= 1 - max_sin2 = 0.01, far above the floor.
+    sin2_live = jnp.where(tir, 0.0, sin2)
+    cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2_live, 1e-6))
     bent = geom.safe_normalize(
         direction * eff[..., None] + normal * (eff * cos1 - cos2)[..., None]
     )
