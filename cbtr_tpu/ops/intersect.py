@@ -1,4 +1,4 @@
-"""Ray x Bezier-patch intersection — THE hot kernel (XLA formulation).
+"""Ray x Bezier-patch intersection — THE hot kernel.
 
 Branch-free, batched re-design of BezierTriangle::intersect +
 BezierMesh::intersect (reference/bezierTriangle.cpp:123-195,
@@ -7,13 +7,37 @@ reference/bezierMesh.cpp:206-227):
 * the reference's early-return `if` pyramid becomes validity masks;
 * the fixed 4-iteration Newton-style root search is statically unrolled;
 * the per-candidate "follow side" retry on a neighbour patch
-  (reference/bezierMesh.cpp:213-217) becomes a second masked evaluation over
-  gathered neighbour rows;
+  (reference/bezierMesh.cpp:213-217) becomes a gather of the neighbour's
+  *already computed* gate-off candidate (see below);
 * the sequential min-distance scan becomes a masked argmin over the patch
   axis.
 
-Everything broadcasts over ray x patch axes, so one call evaluates a whole
-[R, P] tile; `intersect_rays` chunks the ray axis to bound memory.
+Sweep / select / recompute decomposition
+----------------------------------------
+The O(rays x patches) sweep only has to answer two questions per pair:
+"did this patch produce an accepted candidate?" (a 4-bit code) and "at what
+along-ray distance?".  Everything else (hit point, normal, barycentric,
+cos-incidence — and every *gradient*) is only needed for the one winning
+patch per ray.  So the op runs in three stages:
+
+1. **sweep** (stop-gradient; Pallas kernel on TPU, XLA elsewhere): for every
+   (ray, patch) pair evaluate the candidate with the barycentric domain gate
+   OFF and emit ``code = what | (in_domain << 3)`` plus the distance.  The
+   gate-ON result is recoverable from the gate-OFF one because the gate only
+   ANDs one more condition into validity — the Newton iteration itself is
+   identical (reference/bezierTriangle.cpp:127-131 shows the gate touches
+   only the early-out, not the math).
+2. **select** (integer ops): reconstruct the reference's two-pass semantics.
+   Pass-1 candidate = gate-ON result; if it says cFollowSideX, the retry
+   candidate is the gate-OFF result of the indicated neighbour — which the
+   sweep has already computed — fetched with a scalar gather instead of
+   re-evaluating whole patch rows.  Masked argmin picks the min-distance
+   cIntersect (reference/bezierMesh.cpp:220-222).
+3. **recompute** (differentiable): re-evaluate the single winning patch per
+   ray to produce point/normal/bary/cos.  Gradients w.r.t. control points
+   and rays flow only through this O(rays) stage — identical values to
+   differentiating the sweep (the winner's fields are the same arithmetic)
+   at 1/P of the backward cost.
 
 Numerical-safety deltas vs the reference (documented, not behavioural in
 practice):
@@ -28,6 +52,7 @@ practice):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -60,14 +85,14 @@ class RayHit(NamedTuple):
     patch: jnp.ndarray         # [...] i32 winning patch (or -1)
 
 
-def patch_candidates(patches: BezierPatches, start, direction, limit_domain):
-    """Candidate intersection of every ray against every given patch row.
+def _candidates_core(patches: BezierPatches, start, direction):
+    """Gate-OFF candidate evaluation of every ray against every patch row.
 
     patches leaves have leading shape [...]; start/direction broadcast with
-    it.  limit_domain=True applies the barycentric in-[0,1] gate
-    (LimitPlaneIntersection::cThis, reference/bezierTriangle.cpp:127-131).
-
-    Returns (what, distance, point, normal, bary, cos_out).
+    it.  Returns (what, distance, point, normal, bary, cos_out, in_dom)
+    where in_dom is the barycentric in-[0,1] gate of
+    LimitPlaneIntersection::cThis (reference/bezierTriangle.cpp:127-131);
+    the gate-ON result is the same candidate with ``valid &= in_dom``.
     """
     cp = patches.control_points
     n = geom.plane_normal(patches.underlying)
@@ -84,9 +109,7 @@ def patch_candidates(patches: BezierPatches, start, direction, limit_domain):
 
     point0 = start + dist0[..., None] * direction
     bary0 = geom.apply_mat3(patches.bary_inverse, point0)
-    if limit_domain:
-        in_dom = jnp.all((bary0 >= 0.0) & (bary0 <= 1.0), axis=-1)
-        valid &= in_dom
+    in_dom = jnp.all((bary0 >= 0.0) & (bary0 <= 1.0), axis=-1)
 
     # Gradient hygiene: lanes already known dead still run the arithmetic
     # below; substitute tame values so no lane can reach inf (an inf forward
@@ -176,13 +199,95 @@ def patch_candidates(patches: BezierPatches, start, direction, limit_domain):
     )
     what = jnp.where(valid, what, WHAT_NONE).astype(jnp.int32)
     cos_out = geom.dot(direction, normal)
-    return what, distance, surf_pt, normal, bary, cos_out
+    return what, distance, surf_pt, normal, bary, cos_out, in_dom
+
+
+def patch_candidates(patches: BezierPatches, start, direction, limit_domain):
+    """Candidate intersection of every ray against every given patch row.
+
+    limit_domain=True applies the barycentric in-[0,1] gate.
+    Returns (what, distance, point, normal, bary, cos_out).
+    """
+    what, dist, pt, n, b, cos_out, in_dom = _candidates_core(
+        patches, start, direction
+    )
+    if limit_domain:
+        what = jnp.where(in_dom, what, WHAT_NONE).astype(jnp.int32)
+    return what, dist, pt, n, b, cos_out
+
+
+def sweep_codes_xla(patches: BezierPatches, start, direction):
+    """XLA sweep: per-(ray, patch) gate-OFF code and distance.
+
+    start/direction [R,3]; returns (code [R,P] i32, dist [R,P] f32) with
+    ``code = what | (in_dom << 3)``.
+    """
+    s = start[:, None, :]
+    d = direction[:, None, :]
+    what, dist, _, _, _, _, in_dom = _candidates_core(patches, s, d)
+    code = what | (in_dom.astype(jnp.int32) << 3)
+    return code, dist
+
+
+def select_candidates(code, dist, neighbours):
+    """Reconstruct reference two-pass semantics from sweep codes and pick the
+    min-distance winner (reference/bezierMesh.cpp:211-225).
+
+    code/dist [R,P]; neighbours [P,3] i32 (global ids).  Returns
+    (any_hit [R] bool, win_patch [R] i32, win_dist [R] f32).
+    """
+    R, P = code.shape
+    what_off = code & 7
+    in_dom = (code >> 3) > 0
+    what_on = jnp.where(in_dom, what_off, WHAT_NONE)
+
+    # pass 1 (gate ON) direct hits
+    cand1 = what_on == WHAT_INTERSECT
+
+    # follow-side retry = the neighbour's gate-OFF candidate
+    follow = what_on < WHAT_NONE
+    side = jnp.clip(what_on, 0, 2)
+    nb = jnp.take_along_axis(
+        jnp.broadcast_to(neighbours[None], (R, P, 3)), side[..., None], axis=-1
+    )[..., 0]
+    nb = jnp.where(follow, nb, 0).astype(jnp.int32)
+    nb_what = jnp.take_along_axis(what_off, nb, axis=1)
+    nb_dist = jnp.take_along_axis(dist, nb, axis=1)
+    cand2 = follow & (nb_what == WHAT_INTERSECT)
+
+    key = jnp.where(cand1, dist, jnp.where(cand2, nb_dist, _BIG))
+    patch_ids = jnp.where(
+        cand2, nb, jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (R, P))
+    )
+    best = jnp.argmin(key, axis=-1)
+    best_key = jnp.take_along_axis(key, best[:, None], axis=1)[:, 0]
+    any_hit = best_key < _BIG
+    win = jnp.take_along_axis(patch_ids, best[:, None], axis=1)[:, 0]
+    return any_hit, win, best_key
+
+
+def recompute_winner(patches: BezierPatches, start, direction, any_hit, win) -> RayHit:
+    """Differentiable re-evaluation of each ray's winning patch."""
+    rows = patches.row(jnp.maximum(win, 0))
+    what_w, dist_w, pt, n, b, cos_w = patch_candidates(rows, start, direction, False)
+    return RayHit(
+        what=jnp.where(any_hit, WHAT_INTERSECT, WHAT_NONE).astype(jnp.int32),
+        distance=jnp.where(any_hit, dist_w, _BIG),
+        point=pt,
+        normal=n,
+        bary=b,
+        cos_incidence=cos_w,
+        patch=jnp.where(any_hit, win, -1).astype(jnp.int32),
+    )
 
 
 def candidates_with_retry(local_patches: BezierPatches,
                           full_patches: BezierPatches, local_base, start,
                           direction):
     """Per-(ray, local patch) candidates after the follow-side retry.
+
+    Kept for the dense/debug path; the production path is
+    sweep -> select_candidates -> recompute_winner.
 
     local_patches: the patch rows this caller scans (a shard or the whole
     table); full_patches: the complete table the retry gathers neighbour
@@ -254,18 +359,49 @@ def select_best(what, dist, pt, n, b, cos, hit_patch) -> RayHit:
     )
 
 
-def _intersect_chunk(patches: BezierPatches, start, direction):
+def _use_pallas() -> bool:
+    forced = os.environ.get("CBTR_SWEEP", "").lower()
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    # Mosaic kernels need real TPU hardware (the axon tunnel exposes one).
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _intersect_chunk(patches: BezierPatches, start, direction,
+                     backend: str = "auto"):
     """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
-    fields = candidates_with_retry(patches, patches, 0, start, direction)
-    return select_best(*fields)
+    if backend == "auto":
+        backend = "pallas" if _use_pallas() else "xla"
+    # stage 1: sweep (no gradients — selection is discrete)
+    sg = jax.lax.stop_gradient
+    p_sg, s_sg, d_sg = sg(patches), sg(start), sg(direction)
+    if backend == "pallas":
+        from .pallas_sweep import sweep_codes_pallas
+
+        code, dist = sweep_codes_pallas(p_sg, s_sg, d_sg)
+    else:
+        code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
+    # stage 2: select
+    any_hit, win, _ = select_candidates(code, dist, p_sg.neighbours)
+    # stage 3: differentiable winner recompute
+    return recompute_winner(patches, start, direction, any_hit, win)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size",))
-def intersect_rays(patches: BezierPatches, start, direction, chunk_size: int = 0):
+@functools.partial(jax.jit, static_argnames=("chunk_size", "backend"))
+def intersect_rays(patches: BezierPatches, start, direction,
+                   chunk_size: int = 0, backend: str = "auto"):
     """Intersect a batch of rays with the whole Bezier surface.
 
     start/direction: [..., 3].  chunk_size > 0 scans the ray axis in chunks of
     that size to bound the [chunk, P] working set (VMEM/HBM pressure).
+    backend: "auto" (Pallas sweep on TPU, XLA elsewhere; CBTR_SWEEP env
+    overrides), "pallas", or "xla".
     Returns a RayHit with leading shape [...].
     """
     batch_shape = start.shape[:-1]
@@ -279,12 +415,14 @@ def intersect_rays(patches: BezierPatches, start, direction, chunk_size: int = 0
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         s = s.reshape(-1, chunk_size, 3)
         d = d.reshape(-1, chunk_size, 3)
-        hits = jax.lax.map(lambda sd: _intersect_chunk(patches, sd[0], sd[1]), (s, d))
+        hits = jax.lax.map(
+            lambda sd: _intersect_chunk(patches, sd[0], sd[1], backend), (s, d)
+        )
         hit = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:R], hits
         )
     else:
-        hit = _intersect_chunk(patches, s, d)
+        hit = _intersect_chunk(patches, s, d, backend)
     return jax.tree.map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )

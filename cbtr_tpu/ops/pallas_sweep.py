@@ -1,0 +1,333 @@
+"""Pallas TPU kernel for the intersection sweep stage.
+
+Computes, for every (ray, patch) pair, the gate-OFF candidate code
+``what | (in_domain << 3)`` and the along-ray distance — the quantities
+`select_candidates` needs (see ops/intersect.py for the three-stage
+decomposition).  Same math as `sweep_codes_xla`, hand-laid-out for the VPU:
+
+* rays live on the **sublane** axis, patches on the **lane** axis, so every
+  per-pair quantity is a [TILE_R, TILE_P] f32 register tile;
+* per-patch state is staged as one transposed [64, P] table (rows =
+  features, lanes = patches) so a feature row broadcasts along lanes with no
+  transposes in-kernel; one VMEM block per patch tile serves 256 rays;
+* the fixed 4-iteration Newton root search (reference/bezierTriangle.h:58)
+  is statically unrolled; all control flow is `jnp.where` masks — zero
+  divergence, zero dynamic shapes;
+* padding columns are all-zero -> zero plane normal -> |cos| < epsilon ->
+  WHAT_NONE, so padded patches can never win.
+
+The kernel runs under `interpret=True` off-TPU so CPU tests exercise the
+same code path bit-for-bit (modulo float associativity).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT as CFG
+from ..bezier.patches import BezierPatches
+
+# feature-row layout of the transposed patch table
+_ROW_CP = 0        # 30 rows: control point k at rows (3k, 3k+1, 3k+2)
+_ROW_PLANE = 30    # 4 rows: underlying plane nx, ny, nz, c
+_ROW_BINV = 34     # 9 rows: barycentric inverse, row-major
+_ROW_H = 43        # 2 rows: heights (inside, outside)
+_ROW_DB = 45       # 3 rows: second derivative direction
+_ROW_DIV = 48      # 12 rows: 3 divider planes x (nx, ny, nz, c)
+_N_ROWS = 64       # padded to a multiple of 8 sublanes
+
+_WHAT_NONE = 3
+_WHAT_INTERSECT = 4
+
+TILE_R = 256
+TILE_P = 128
+
+
+def _safe_div(num, den, eps=1e-12):
+    den_safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+    return num / den_safe
+
+
+def _sweep_kernel(rays_ref, patch_ref, code_ref, dist_ref):
+    pt = patch_ref[:]                     # [64, TILE_P]
+    rays = rays_ref[:]                    # [TILE_R, 8]
+
+    def row(k):
+        return pt[k]                      # [TILE_P], broadcasts as [1, TILE_P]
+
+    sx, sy, sz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]   # [TILE_R, 1]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+
+    nx, ny, nz, c = (row(_ROW_PLANE + k) for k in range(4))
+    h_in, h_out = row(_ROW_H), row(_ROW_H + 1)
+
+    # ray x underlying plane (reference/bezierTriangle.cpp:124-126)
+    cos_inc = dx * nx + dy * ny + dz * nz
+    dist0 = _safe_div(c - (sx * nx + sy * ny + sz * nz), cos_inc)
+    valid = (jnp.abs(cos_inc) >= CFG.ray_plane_intersection_epsilon) & (dist0 > 0.0)
+    valid &= (jnp.abs(dist0) > -h_in) & (jnp.abs(dist0) > h_out)
+
+    m = [row(_ROW_BINV + k) for k in range(9)]
+
+    def bary_of(px, py, pz):
+        b0 = m[0] * px + m[1] * py + m[2] * pz
+        b1 = m[3] * px + m[4] * py + m[5] * pz
+        b2 = m[6] * px + m[7] * py + m[8] * pz
+        return b0, b1, b2
+
+    p0x = sx + dist0 * dx
+    p0y = sy + dist0 * dy
+    p0z = sz + dist0 * dz
+    b0, b1, b2 = bary_of(p0x, p0y, p0z)
+    in_dom = (
+        (b0 >= 0.0) & (b0 <= 1.0)
+        & (b1 >= 0.0) & (b1 <= 1.0)
+        & (b2 >= 0.0) & (b2 <= 1.0)
+    )
+
+    # tame dead lanes (gradient-free here, but keeps inf/NaN out of the VPU)
+    dist0 = jnp.where(valid, dist0, 1.0)
+    cos_inc = jnp.where(valid, cos_inc, 1.0)
+
+    # bracket along the ray (reference/bezierTriangle.cpp:132-135)
+    d_in = _safe_div(h_in, cos_inc)
+    d_out = _safe_div(h_out, cos_inc)
+    going = cos_inc > 0.0
+    closer = dist0 + jnp.where(going, d_in, d_out)
+    further = dist0 + jnp.where(going, d_out, d_in)
+
+    cpx = [row(3 * k) for k in range(10)]
+    cpy = [row(3 * k + 1) for k in range(10)]
+    cpz = [row(3 * k + 2) for k in range(10)]
+
+    def clip_bary(b):
+        return jnp.clip(b, -16.0, 16.0)
+
+    def bernstein(b0, b1, b2):
+        b0_2, b1_2, b2_2 = b0 * b0, b1 * b1, b2 * b2
+        return (
+            b0 * b0_2, b1 * b1_2, b2 * b2_2,
+            3.0 * b1 * b0_2, 3.0 * b0 * b1_2,
+            3.0 * b2 * b1_2, 3.0 * b1 * b2_2,
+            3.0 * b0 * b2_2, 3.0 * b2 * b0_2,
+            6.0 * b0 * b1 * b2,
+        )
+
+    def interpolate(b0, b1, b2):
+        w = bernstein(b0, b1, b2)
+        fx = w[0] * cpx[0]
+        fy = w[0] * cpy[0]
+        fz = w[0] * cpz[0]
+        for k in range(1, 10):
+            fx += w[k] * cpx[k]
+            fy += w[k] * cpy[k]
+            fz += w[k] * cpz[k]
+        return fx, fy, fz
+
+    def surface_diff(t):
+        px = sx + t * dx
+        py = sy + t * dy
+        pz = sz + t * dz
+        pd = px * nx + py * ny + pz * nz - c
+        qx = px - nx * pd
+        qy = py - ny * pd
+        qz = pz - nz * pd
+        b0, b1, b2 = bary_of(qx, qy, qz)
+        fx, fy, fz = interpolate(clip_bary(b0), clip_bary(b1), clip_bary(b2))
+        sd = fx * nx + fy * ny + fz * nz - c
+        return jnp.abs(pd) - jnp.abs(sd)
+
+    # secant-style estimate with midpoint fallback (cpp:137-152)
+    diff_closer = surface_diff(closer)
+    diff_further = surface_diff(further)
+    denom = diff_closer - diff_further
+    secant = _safe_div(diff_closer * further - diff_further * closer, denom)
+    middle = jnp.where(
+        jnp.abs(denom) < CFG.intersection_estimation_epsilon,
+        (closer + further) / 2.0,
+        secant,
+    )
+    middle = jnp.clip(middle, -1e7, 1e7)
+
+    db0, db1, db2 = row(_ROW_DB), row(_ROW_DB + 1), row(_ROW_DB + 2)
+
+    def normal_of(b0, b1, b2):
+        """Quadratic directional-derivative normal
+        (reference/bezierTriangle.cpp:197-233)."""
+        b0_2, b1_2, b2_2 = b0 * b0, b1 * b1, b2 * b2
+        ab = 2.0 * b0 * b1
+        bc = 2.0 * b1 * b2
+        ac = 2.0 * b0 * b2
+        outs = []
+        for cp in (cpx, cpy, cpz):
+            comp0 = (b0_2 * cp[0] + ab * cp[3] + b1_2 * cp[4]
+                     + b2_2 * cp[7] + ac * cp[8] + bc * cp[9])
+            comp1 = (b1_2 * cp[1] + b0_2 * cp[3] + ab * cp[4]
+                     + bc * cp[5] + b2_2 * cp[6] + ac * cp[9])
+            comp2 = (b2_2 * cp[2] + b1_2 * cp[5] + bc * cp[6]
+                     + ac * cp[7] + b0_2 * cp[8] + ab * cp[9])
+            # first direction is the constant (1, 0, -1)
+            a_comp = comp0 - comp2
+            b_comp = db0 * comp0 + db1 * comp1 + db2 * comp2
+            outs.append((a_comp, b_comp))
+        (ax, bx), (ay, by), (az, bz) = outs
+        nxo = ay * bz - az * by
+        nyo = az * bx - ax * bz
+        nzo = ax * by - ay * bx
+        n2 = nxo * nxo + nyo * nyo + nzo * nzo
+        inv = jnp.where(n2 < 1e-30, 0.0, jax.lax.rsqrt(jnp.maximum(n2, 1e-30)))
+        return nxo * inv, nyo * inv, nzo * inv
+
+    # fixed-iteration Newton-like refinement, unrolled (cpp:155-164)
+    pdx = jnp.zeros_like(cos_inc) + nx
+    pdy = jnp.zeros_like(cos_inc) + ny
+    pdz = jnp.zeros_like(cos_inc) + nz
+    distance = middle
+    for _ in range(CFG.root_search_iterations):
+        distance = middle
+        px = sx + middle * dx
+        py = sy + middle * dy
+        pz = sz + middle * dz
+        t = _safe_div(
+            c - (px * nx + py * ny + pz * nz), pdx * nx + pdy * ny + pdz * nz
+        )
+        plx = px + t * pdx
+        ply = py + t * pdy
+        plz = pz + t * pdz
+        b0, b1, b2 = bary_of(plx, ply, plz)
+        b0, b1, b2 = clip_bary(b0), clip_bary(b1), clip_bary(b2)
+        nmx, nmy, nmz = normal_of(b0, b1, b2)
+        fx, fy, fz = interpolate(b0, b1, b2)
+        stx = fx - plx
+        sty = fy - ply
+        stz = fz - plz
+        st2 = stx * stx + sty * sty + stz * stz
+        inv = jnp.where(st2 < 1e-30, 0.0, jax.lax.rsqrt(jnp.maximum(st2, 1e-30)))
+        moved = st2 > 0.0
+        pdx = jnp.where(moved, stx * inv, pdx)
+        pdy = jnp.where(moved, sty * inv, pdy)
+        pdz = jnp.where(moved, stz * inv, pdz)
+        middle = jnp.clip(
+            _safe_div(
+                (fx - sx) * nmx + (fy - sy) * nmy + (fz - sz) * nmz,
+                dx * nmx + dy * nmy + dz * nmz,
+            ),
+            -1e7,
+            1e7,
+        )
+
+    # acceptance (cpp:165-167)
+    rx = fx - sx
+    ry = fy - sy
+    rz = fz - sz
+    along = rx * dx + ry * dy + rz * dz
+    qx = rx - along * dx
+    qy = ry - along * dy
+    qz = rz - along * dz
+    ray_dist2 = qx * qx + qy * qy + qz * qz
+    max_d = CFG.max_intersection_distance_from_ray
+    accept = (ray_dist2 <= max_d * max_d) & (
+        distance >= (further - closer) * CFG.minimal_ray_distance
+    )
+    valid &= accept
+
+    # domain classification against divider planes (cpp:169-184)
+    outside = jnp.zeros_like(cos_inc, dtype=jnp.int32)
+    for j in range(3):
+        dnx = row(_ROW_DIV + 4 * j)
+        dny = row(_ROW_DIV + 4 * j + 1)
+        dnz = row(_ROW_DIV + 4 * j + 2)
+        dc = row(_ROW_DIV + 4 * j + 3)
+        dd = fx * dnx + fy * dny + fz * dnz - dc
+        outside += (dd < 0.0).astype(jnp.int32) << j
+    what = jnp.where(
+        outside == 1, 0,
+        jnp.where(outside == 2, 1, jnp.where(outside == 4, 2, _WHAT_INTERSECT)),
+    )
+    what = jnp.where(valid, what, _WHAT_NONE)
+
+    code_ref[:] = what | (in_dom.astype(jnp.int32) << 3)
+    dist_ref[:] = distance
+
+
+def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
+    """Transposed [64, P_pad] feature table (rows = features, lanes = patches)."""
+    P = patches.num_patches
+    rows = jnp.concatenate(
+        [
+            patches.control_points.reshape(P, 30).T,   # 0..29
+            patches.underlying.T,                      # 30..33
+            patches.bary_inverse.reshape(P, 9).T,      # 34..42
+            patches.heights.T,                         # 43..44
+            patches.deriv_b.T,                         # 45..47
+            patches.dividers.reshape(P, 12).T,         # 48..59
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+    pad_p = (-P) % pad_to
+    return jnp.pad(rows, ((0, _N_ROWS - rows.shape[0]), (0, pad_p)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sweep_call(rays, patch_t, interpret: bool):
+    Rp = rays.shape[0]
+    Pp = patch_t.shape[1]
+    grid = (Rp // TILE_R, Pp // TILE_P)
+    flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
+    return pl.pallas_call(
+        _sweep_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_R, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_ROWS, TILE_P), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, TILE_P), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, TILE_P), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, Pp), jnp.int32),
+            jax.ShapeDtypeStruct((Rp, Pp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_pair * Rp * Pp,
+            bytes_accessed=8 * Rp * Pp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
+            transcendentals=10 * Rp * Pp,
+        ),
+        interpret=interpret,
+    )(rays, patch_t)
+
+
+def sweep_codes_pallas(patches: BezierPatches, start, direction,
+                       interpret: bool | None = None):
+    """Pallas sweep: (code [R,P] i32, dist [R,P] f32) for start/direction [R,3]."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            interpret = True
+    R = start.shape[0]
+    P = patches.num_patches
+    pad_r = (-R) % TILE_R
+    rays = jnp.concatenate(
+        [
+            start.astype(jnp.float32),
+            direction.astype(jnp.float32),
+            jnp.zeros((R, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    # padded rays point along +x from the origin; results are sliced away
+    pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
+    rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
+    patch_t = pack_patch_table(patches, TILE_P)
+    code, dist = _sweep_call(rays, patch_t, bool(interpret))
+    return code[:R, :P], dist[:R, :P]

@@ -1,17 +1,19 @@
 """Patch-sharded intersection: the tensor-parallel axis of the raytracer.
 
 To cut per-chip compute (the brute-force scan is O(rays x patches)), the
-*patch* axis is sharded across a mesh axis: every device intersects the ray
-batch against its patch shard, then the min-distance winner is combined
-across the axis with one all-gather of per-shard bests (a handful of floats
-per ray) — the raytracing analogue of tensor parallelism with a reduce
-epilogue.
+*patch* axis is sharded across a mesh axis: every device sweeps the ray
+batch against its own patch shard (the expensive stage — Pallas kernel on
+TPU), then the per-pair candidate codes+distances (8 bytes/pair) are
+all-gathered along the patch axis so every device can run the cheap integer
+select stage — including follow-side retries that cross shard boundaries
+(reference/bezierMesh.cpp:213-217, the neighbour patch may live on another
+device) — and finally each device re-evaluates only its rays' winning
+patches from the replicated patch table.  Gradients flow through that O(R)
+recompute alone, so backward needs no extra communication beyond the
+automatic psum of replicated-parameter grads.
 
-The follow-side retry (reference/bezierMesh.cpp:213-217) can cross shard
-boundaries, so each device also keeps the full (replicated) patch table for
-the cheap gathered retry rows; the expensive dense pass-1 scan only touches
-the local shard.  The SoA is tiny (~250 B/patch) so replication costs
-nothing until meshes reach millions of patches.
+The SoA is tiny (~250 B/patch) so replicating the table for the recompute
+costs nothing until meshes reach millions of patches.
 
 Composes with ray sharding into a 2D ('rays', 'patches') mesh: rays split
 along one axis, patches along the other.
@@ -29,11 +31,9 @@ from jax import shard_map
 from ..bezier.patches import BezierPatches
 from ..ops.intersect import (
     RayHit,
-    WHAT_NONE,
-    WHAT_INTERSECT,
-    _BIG,
-    candidates_with_retry,
-    select_best,
+    recompute_winner,
+    select_candidates,
+    sweep_codes_xla,
 )
 
 
@@ -54,16 +54,21 @@ def pad_patches(patches: BezierPatches, multiple: int) -> BezierPatches:
 
 def intersect_rays_patch_sharded(patches: BezierPatches, start, direction,
                                  mesh: Mesh, patch_axis: str = "patches",
-                                 ray_axis: Optional[str] = None) -> RayHit:
+                                 ray_axis: Optional[str] = None,
+                                 backend: str = "auto") -> RayHit:
     """Mesh-sharded intersection: patches split along `patch_axis`, rays
     optionally split along `ray_axis` (2D mesh)."""
     n_shards = mesh.shape[patch_axis]
     patches = pad_patches(patches, n_shards)
-    shard_size = patches.num_patches // n_shards
 
     ray_spec = P(ray_axis) if ray_axis else P()
     local_specs = BezierPatches(*(P(patch_axis) for _ in patches))
     full_specs = BezierPatches(*(P() for _ in patches))
+
+    if backend == "auto":
+        from ..ops.intersect import _use_pallas
+
+        backend = "pallas" if _use_pallas() else "xla"
 
     @functools.partial(
         shard_map,
@@ -73,28 +78,26 @@ def intersect_rays_patch_sharded(patches: BezierPatches, start, direction,
         check_vma=False,
     )
     def shard_fn(local_patches, full_patches, s, d):
-        base = jax.lax.axis_index(patch_axis) * shard_size
-        fields = candidates_with_retry(local_patches, full_patches, base, s, d)
-        local = select_best(*fields)
+        # stage 1: local sweep (stop-gradient; the heavy stage)
+        sg = jax.lax.stop_gradient
+        lp, s_sg, d_sg = sg(local_patches), sg(s), sg(d)
+        if backend == "pallas":
+            from ..ops.pallas_sweep import sweep_codes_pallas
 
-        # combine across the patch axis: gather each shard's best candidate
-        key = jnp.where(local.what == WHAT_INTERSECT, local.distance, _BIG)
-        all_key = jax.lax.all_gather(key, patch_axis)            # [S, R]
-        all_hit = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, patch_axis), local
+            code, dist = sweep_codes_pallas(lp, s_sg, d_sg)
+        else:
+            code, dist = sweep_codes_xla(lp, s_sg, d_sg)
+
+        # stage 2: all-gather per-pair scalars along the patch axis so the
+        # select stage sees the whole table (cross-shard retries included)
+        code = jax.lax.all_gather(code, patch_axis, axis=1, tiled=True)
+        dist = jax.lax.all_gather(dist, patch_axis, axis=1, tiled=True)
+        any_hit, win, _ = select_candidates(
+            code, dist, sg(full_patches).neighbours
         )
-        best = jnp.argmin(all_key, axis=0)                        # [R]
 
-        def pick(x):
-            idx = best[None, ..., None] if x.ndim == 3 else best[None]
-            return jnp.take_along_axis(x, idx, axis=0).squeeze(0)
-
-        won = jnp.take_along_axis(all_key, best[None], axis=0).squeeze(0) < _BIG
-        out = jax.tree.map(pick, all_hit)
-        return out._replace(
-            what=jnp.where(won, WHAT_INTERSECT, WHAT_NONE).astype(jnp.int32),
-            patch=jnp.where(won, out.patch, -1).astype(jnp.int32),
-        )
+        # stage 3: differentiable winner recompute from the replicated table
+        return recompute_winner(full_patches, s, d, any_hit, win)
 
     return shard_fn(
         patches, patches,

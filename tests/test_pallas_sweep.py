@@ -1,0 +1,70 @@
+"""Pallas sweep kernel vs the XLA sweep (interpret mode on CPU).
+
+The kernel is the TPU production path for the O(rays x patches) stage; here
+it runs under `interpret=True` so the exact same kernel code is validated
+without hardware.  Codes may differ on a negligible fraction of pairs where
+float associativity flips a threshold comparison; the end-to-end RayHit must
+agree on hit/miss and distances.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu.bezier import build_from_trimesh
+from cbtr_tpu.harness import preprocess
+from cbtr_tpu.mesh.core import make_unit_sphere
+from cbtr_tpu.ops import intersect_rays
+from cbtr_tpu.ops.intersect import sweep_codes_xla, WHAT_INTERSECT
+from cbtr_tpu.ops.pallas_sweep import sweep_codes_pallas
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_from_trimesh(preprocess(make_unit_sphere(7, 3)))
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(7)
+    n = 64
+    start = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    start[:, 0] -= 3.0
+    target = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(start), jnp.asarray(d)
+
+
+def test_sweep_codes_match(scene, rays):
+    start, d = rays
+    code_x, dist_x = sweep_codes_xla(scene, start, d)
+    code_p, dist_p = sweep_codes_pallas(scene, start, d, interpret=True)
+    assert code_p.shape == code_x.shape
+    agree = np.mean(np.asarray(code_p == code_x))
+    assert agree > 0.995, f"code agreement only {agree}"
+    both_hit = np.asarray((code_x & 7) == WHAT_INTERSECT) & np.asarray(
+        (code_p & 7) == WHAT_INTERSECT
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist_p)[both_hit], np.asarray(dist_x)[both_hit],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_end_to_end_backends_agree(scene, rays):
+    start, d = rays
+    a = intersect_rays(scene, start, d, backend="xla")
+    b = intersect_rays(scene, start, d, backend="pallas")
+    hit_a = np.asarray(a.what == WHAT_INTERSECT)
+    hit_b = np.asarray(b.what == WHAT_INTERSECT)
+    # identical hit sets (allow <2% flips from fp-order differences)
+    assert np.mean(hit_a == hit_b) > 0.98
+    both = hit_a & hit_b
+    np.testing.assert_allclose(
+        np.asarray(a.distance)[both], np.asarray(b.distance)[both],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.point)[both], np.asarray(b.point)[both],
+        rtol=1e-4, atol=1e-4,
+    )
