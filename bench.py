@@ -56,7 +56,7 @@ def main() -> None:
         return lens_loss(
             params, scene.patches, start, direction, scene.screen_plane,
             jnp.zeros((128, 128), jnp.float32), resolution=128,
-            chunk_size=16384 if n_rays > 16384 else 0,
+            chunk_size=65536 if n_rays > 65536 else 0,
         )
 
     step = jax.jit(jax.value_and_grad(loss_fn))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import geom
@@ -83,14 +84,18 @@ def bernstein_weights(bary):
 def interpolate(control_points, bary):
     """Evaluate the cubic surface point. cp [...,10,3], bary [...,3] -> [...,3]."""
     w = bernstein_weights(bary)
-    return jnp.einsum("...k,...kx->...x", w, control_points)
+    # HIGHEST: TPU f32 einsum otherwise drops to reduced MXU precision, which
+    # measurably flips marginal Newton acceptances vs a float64 referee
+    return jnp.einsum("...k,...kx->...x", w, control_points,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def interpolate_linear(control_points, bary):
     """Barycentric mix of the 3 corner control points
     (reference/bezierTriangle.cpp:99-103)."""
     corners = control_points[..., :3, :]  # 300, 030, 003
-    return jnp.einsum("...k,...kx->...x", bary, corners)
+    return jnp.einsum("...k,...kx->...x", bary, corners,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _quadratic_component_weights(bary):
@@ -122,8 +127,10 @@ def patch_normal(control_points, deriv_b, bary):
     control_points [...,10,3], deriv_b [...,3], bary [...,3] -> [...,3].
     """
     w = _quadratic_component_weights(bary)  # [...,3,10]
-    comps = jnp.einsum("...ck,...kx->...cx", w, control_points)  # [...,3,3]
+    hi = jax.lax.Precision.HIGHEST
+    comps = jnp.einsum("...ck,...kx->...cx", w, control_points,
+                       precision=hi)  # [...,3,3]
     a = jnp.asarray(DERIV_A, dtype=comps.dtype)
-    comp_a = jnp.einsum("c,...cx->...x", a, comps)
-    comp_b = jnp.einsum("...c,...cx->...x", deriv_b, comps)
+    comp_a = jnp.einsum("c,...cx->...x", a, comps, precision=hi)
+    comp_b = jnp.einsum("...c,...cx->...x", deriv_b, comps, precision=hi)
     return geom.safe_normalize(jnp.cross(comp_a, comp_b))

@@ -235,35 +235,43 @@ def select_candidates(code, dist, neighbours):
 
     code/dist [R,P]; neighbours [P,3] i32 (global ids).  Returns
     (any_hit [R] bool, win_patch [R] i32, win_dist [R] f32).
+
+    The follow-side retry is evaluated *inverted*: instead of pair (r,p)
+    gathering its neighbour q's candidate (per-element [R,P] gathers are
+    scalar-slow on TPU), patch q receives "follow votes" from its neighbours
+    through three one-hot [P,P] matmuls — ``(what_on == FOLLOW_s) @ A_s``
+    where ``A_s[p,q] = (neighbours[p,s] == q)`` — which run on the MXU.  A
+    pair (r,q) is then a retry candidate iff it got a vote and its own
+    gate-OFF result is cIntersect, with key ``dist[r,q]`` read in place.
+    This is the same candidate multiset as the forward formulation (the
+    retry's candidate *is* the neighbour's gate-OFF evaluation), so the
+    min-distance winner is identical.
     """
-    R, P = code.shape
+    P = code.shape[-1]
     what_off = code & 7
     in_dom = (code >> 3) > 0
     what_on = jnp.where(in_dom, what_off, WHAT_NONE)
 
     # pass 1 (gate ON) direct hits
-    cand1 = what_on == WHAT_INTERSECT
+    direct = what_on == WHAT_INTERSECT
 
-    # follow-side retry = the neighbour's gate-OFF candidate
-    follow = what_on < WHAT_NONE
-    side = jnp.clip(what_on, 0, 2)
-    nb = jnp.take_along_axis(
-        jnp.broadcast_to(neighbours[None], (R, P, 3)), side[..., None], axis=-1
-    )[..., 0]
-    nb = jnp.where(follow, nb, 0).astype(jnp.int32)
-    nb_what = jnp.take_along_axis(what_off, nb, axis=1)
-    nb_dist = jnp.take_along_axis(dist, nb, axis=1)
-    cand2 = follow & (nb_what == WHAT_INTERSECT)
+    # follow votes: one [R,P] @ [P,P] one-hot matmul per side (MXU)
+    votes = None
+    for s in range(3):
+        a_s = (
+            neighbours[:, s, None] == jnp.arange(P, dtype=neighbours.dtype)
+        ).astype(jnp.bfloat16)
+        f_s = (what_on == s).astype(jnp.bfloat16)
+        v = jnp.dot(f_s, a_s, preferred_element_type=jnp.float32)
+        votes = v if votes is None else votes + v
+    retried = (votes > 0.0) & (what_off == WHAT_INTERSECT)
 
-    key = jnp.where(cand1, dist, jnp.where(cand2, nb_dist, _BIG))
-    patch_ids = jnp.where(
-        cand2, nb, jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (R, P))
-    )
+    considered = direct | retried
+    key = jnp.where(considered, dist, _BIG)
     best = jnp.argmin(key, axis=-1)
-    best_key = jnp.take_along_axis(key, best[:, None], axis=1)[:, 0]
+    best_key = jnp.min(key, axis=-1)
     any_hit = best_key < _BIG
-    win = jnp.take_along_axis(patch_ids, best[:, None], axis=1)[:, 0]
-    return any_hit, win, best_key
+    return any_hit, best.astype(jnp.int32), best_key
 
 
 def recompute_winner(patches: BezierPatches, start, direction, any_hit, win) -> RayHit:
