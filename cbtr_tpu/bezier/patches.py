@@ -82,20 +82,23 @@ def bernstein_weights(bary):
 
 
 def interpolate(control_points, bary):
-    """Evaluate the cubic surface point. cp [...,10,3], bary [...,3] -> [...,3]."""
+    """Evaluate the cubic surface point. cp [...,10,3], bary [...,3] -> [...,3].
+
+    Unrolled multiply-add rather than einsum: the contraction dim is 10, so
+    the MXU form pads 10->128 lanes and (at the HIGHEST precision full f32
+    requires) runs multi-pass, while the unrolled form is bit-identical full
+    f32 *and* fuses into the surrounding elementwise DAG — the recompute
+    stage drops from ~12 ms to the bandwidth floor.
+    """
     w = bernstein_weights(bary)
-    # HIGHEST: TPU f32 einsum otherwise drops to reduced MXU precision, which
-    # measurably flips marginal Newton acceptances vs a float64 referee
-    return jnp.einsum("...k,...kx->...x", w, control_points,
-                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(w[..., None] * control_points, axis=-2)
 
 
 def interpolate_linear(control_points, bary):
     """Barycentric mix of the 3 corner control points
     (reference/bezierTriangle.cpp:99-103)."""
     corners = control_points[..., :3, :]  # 300, 030, 003
-    return jnp.einsum("...k,...kx->...x", bary, corners,
-                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(bary[..., None] * corners, axis=-2)
 
 
 def _quadratic_component_weights(bary):
@@ -127,10 +130,10 @@ def patch_normal(control_points, deriv_b, bary):
     control_points [...,10,3], deriv_b [...,3], bary [...,3] -> [...,3].
     """
     w = _quadratic_component_weights(bary)  # [...,3,10]
-    hi = jax.lax.Precision.HIGHEST
-    comps = jnp.einsum("...ck,...kx->...cx", w, control_points,
-                       precision=hi)  # [...,3,3]
-    a = jnp.asarray(DERIV_A, dtype=comps.dtype)
-    comp_a = jnp.einsum("c,...cx->...x", a, comps, precision=hi)
-    comp_b = jnp.einsum("...c,...cx->...x", deriv_b, comps, precision=hi)
+    # unrolled full-f32 contraction (see interpolate for why not einsum)
+    comps = jnp.sum(
+        w[..., None] * control_points[..., None, :, :], axis=-2
+    )  # [...,3,3]
+    comp_a = comps[..., 0, :] - comps[..., 2, :]  # dot with DERIV_A=(1,0,-1)
+    comp_b = jnp.sum(deriv_b[..., None] * comps, axis=-2)
     return geom.safe_normalize(jnp.cross(comp_a, comp_b))
