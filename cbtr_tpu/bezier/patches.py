@@ -59,8 +59,9 @@ def bernstein_weights(bary):
     """Cubic Bernstein weights in control-point index order.
 
     bary [..., 3] -> [..., 10]; the contraction ``w @ control_points``
-    reproduces BezierTriangle::interpolate (reference/bezierTriangle.cpp:105-121)
-    and maps onto the MXU for large ray batches.
+    reproduces BezierTriangle::interpolate (reference/bezierTriangle.cpp:105-121).
+    `interpolate` deliberately contracts with an unrolled elementwise VPU sum
+    rather than the MXU — see its docstring for the measured rationale.
     """
     b0, b1, b2 = bary[..., 0], bary[..., 1], bary[..., 2]
     b0_2, b1_2, b2_2 = b0 * b0, b1 * b1, b2 * b2

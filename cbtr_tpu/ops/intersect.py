@@ -236,42 +236,44 @@ def select_candidates(code, dist, neighbours):
     code/dist [R,P]; neighbours [P,3] i32 (global ids).  Returns
     (any_hit [R] bool, win_patch [R] i32, win_dist [R] f32).
 
-    The follow-side retry is evaluated *inverted*: instead of pair (r,p)
-    gathering its neighbour q's candidate (per-element [R,P] gathers are
-    scalar-slow on TPU), patch q receives "follow votes" from its neighbours
-    through three one-hot [P,P] matmuls — ``(what_on == FOLLOW_s) @ A_s``
-    where ``A_s[p,q] = (neighbours[p,s] == q)`` — which run on the MXU.  A
-    pair (r,q) is then a retry candidate iff it got a vote and its own
-    gate-OFF result is cIntersect, with key ``dist[r,q]`` read in place.
-    This is the same candidate multiset as the forward formulation (the
-    retry's candidate *is* the neighbour's gate-OFF evaluation), so the
-    min-distance winner is identical.
+    The follow-side retry is O(R*P): for side s the neighbour column
+    ``q_s = neighbours[:, s]`` is a *static* [P] index vector, so the retry
+    candidate of every pair (r, p) with ``what_on == s`` is fetched by three
+    whole-column gathers ``dist[:, q_s]`` / ``code[:, q_s]`` — constant
+    permutations XLA lowers to contiguous copies, no per-element dynamic
+    gather and no [P,P] one-hot materialization (which was O(P^2) memory and
+    died at the 1e4..1e6 patches a refined mesh implies).  A retry candidate
+    at slot p carries the *neighbour's* distance and patch id; the same
+    candidate multiset as the reference's forward retry, so the min-distance
+    winner is identical.
     """
     P = code.shape[-1]
     what_off = code & 7
     in_dom = (code >> 3) > 0
     what_on = jnp.where(in_dom, what_off, WHAT_NONE)
 
-    # pass 1 (gate ON) direct hits
-    direct = what_on == WHAT_INTERSECT
+    ids = jnp.arange(P, dtype=jnp.int32)
+    # pass 1 (gate ON) direct hits, keyed at their own slot
+    key = jnp.where(what_on == WHAT_INTERSECT, dist, _BIG)
+    win_ids = jnp.broadcast_to(ids, key.shape)
 
-    # follow votes: one [R,P] @ [P,P] one-hot matmul per side (MXU)
-    votes = None
+    hit_off = what_off == WHAT_INTERSECT
     for s in range(3):
-        a_s = (
-            neighbours[:, s, None] == jnp.arange(P, dtype=neighbours.dtype)
-        ).astype(jnp.bfloat16)
-        f_s = (what_on == s).astype(jnp.bfloat16)
-        v = jnp.dot(f_s, a_s, preferred_element_type=jnp.float32)
-        votes = v if votes is None else votes + v
-    retried = (votes > 0.0) & (what_off == WHAT_INTERSECT)
+        q_s = neighbours[:, s].astype(jnp.int32)          # [P] static indices
+        key_s = jnp.where(
+            (what_on == s) & jnp.take(hit_off, q_s, axis=-1),
+            jnp.take(dist, q_s, axis=-1),
+            _BIG,
+        )
+        better = key_s < key
+        win_ids = jnp.where(better, q_s, win_ids)
+        key = jnp.minimum(key, key_s)
 
-    considered = direct | retried
-    key = jnp.where(considered, dist, _BIG)
     best = jnp.argmin(key, axis=-1)
     best_key = jnp.min(key, axis=-1)
     any_hit = best_key < _BIG
-    return any_hit, best.astype(jnp.int32), best_key
+    win = jnp.take_along_axis(win_ids, best[..., None], axis=-1)[..., 0]
+    return any_hit, win.astype(jnp.int32), best_key
 
 
 def recompute_winner(patches: BezierPatches, start, direction, any_hit, win) -> RayHit:

@@ -27,7 +27,7 @@ REFRACT_OUTSIDE = 2
 
 
 def refract_rays(patches, refractive_index, start, direction, expected,
-                 chunk_size: int = 0):
+                 chunk_size: int = 0, intersect_fn=None):
     """Refract a ray batch at the lens surface.
 
     expected: int (REFRACT_INSIDE or REFRACT_OUTSIDE) or [...] i32 array.
@@ -35,8 +35,16 @@ def refract_rays(patches, refractive_index, start, direction, expected,
     Rays whose status is REFRACT_NONE are dead (miss / TIR / unexpected
     transition); their outputs carry the inputs unchanged so downstream
     passes stay finite.
+
+    intersect_fn: optional (patches, start, direction) -> RayHit override so
+    sharded/tensor-parallel intersection paths (e.g.
+    parallel.patch_parallel.intersect_rays_patch_sharded) reuse this exact
+    Snell physics instead of duplicating it.
     """
-    hit = intersect_rays(patches, start, direction, chunk_size=chunk_size)
+    if intersect_fn is None:
+        hit = intersect_rays(patches, start, direction, chunk_size=chunk_size)
+    else:
+        hit = intersect_fn(patches, start, direction)
     ok = hit.what == WHAT_INTERSECT
 
     cos_inc = hit.cos_incidence
@@ -72,9 +80,9 @@ def refract_rays(patches, refractive_index, start, direction, expected,
     return new_start, new_dir, status.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size",))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "intersect_fn"))
 def trace_through_lens(patches, refractive_index, start, direction,
-                       chunk_size: int = 0):
+                       chunk_size: int = 0, intersect_fn=None):
     """Full lens pass: refract entering (expect inside), then exiting
     (expect outside) — the per-ray state machine of the reference's
     illumination loop (reference/test.cpp:376-394).
@@ -82,10 +90,12 @@ def trace_through_lens(patches, refractive_index, start, direction,
     Returns (start, direction, alive_mask, entry_point, exit_point).
     """
     s1, d1, st1 = refract_rays(
-        patches, refractive_index, start, direction, REFRACT_INSIDE, chunk_size
+        patches, refractive_index, start, direction, REFRACT_INSIDE,
+        chunk_size, intersect_fn,
     )
     s2, d2, st2 = refract_rays(
-        patches, refractive_index, s1, d1, REFRACT_OUTSIDE, chunk_size
+        patches, refractive_index, s1, d1, REFRACT_OUTSIDE,
+        chunk_size, intersect_fn,
     )
     alive = (st1 == REFRACT_INSIDE) & (st2 == REFRACT_OUTSIDE)
     return s2, d2, alive, s1, s2

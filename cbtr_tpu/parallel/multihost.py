@@ -1,0 +1,180 @@
+"""Multi-host distributed execution.
+
+The reference's scale-out story is single-GPU prose (the planned Thrust ray
+batching, reference/README.md:159-198).  This module is its pod-scale
+TPU-native generalization: `jax.distributed` process groups + a global
+('hosts', 'chips') device mesh with
+
+* **rays sharded over every chip of every host** (the data-parallel axis of
+  a raytracer — rays are independent, so forward needs zero communication);
+* **the BezierPatches SoA replicated** (tens of KB/mesh);
+* **gradient all-reduce inserted by XLA**: parameters replicated + batch
+  sharded means the backward pass psums control-point / refractive-index
+  grads over ICI within a slice and DCN across hosts, overlapped with the
+  backward schedule by the XLA latency-hiding scheduler.
+
+Single-process (1 host, N devices) and multi-process (N hosts) run the same
+code: the mesh is built from `jax.devices()` (global across processes) and
+per-process ray shards are assembled with
+`jax.make_array_from_process_local_data`.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.lens_model import LensParams, lens_loss
+from ..render.render import render_lens_image
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Join (or skip) the jax.distributed process group.
+
+    Explicit args, or the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), or —
+    on real multi-host TPU pods — automatic cluster detection.  Returns True
+    when a multi-process group was initialized, False for the single-process
+    fallback (everything still works on one host's devices).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
+
+    if coordinator_address is None and num_processes is None:
+        return False  # single process; nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def multihost_mesh(axis: str = "rays",
+                   num_devices: Optional[int] = None) -> Mesh:
+    """1D mesh over every chip of every host (the ray/data axis).
+
+    A flat axis is the right shape for this workload: rays need no
+    communication, so there is nothing for a second mesh dimension to
+    exploit — hosts x chips collapse into one data axis and the only
+    collective (gradient psum) rides ICI first, DCN for the cross-host hop.
+    """
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
+def process_ray_shard(start: np.ndarray, direction: np.ndarray,
+                      mesh: Mesh, axis: str = "rays"
+                      ) -> Tuple[jax.Array, jax.Array, int]:
+    """Assemble globally-sharded ray arrays from per-process slices.
+
+    start/direction are the *global* [R,3] ray set (procedurally generated,
+    so every process can build it — only its own slice is materialized on
+    device).  Returns (start, direction, padded_R) as global jax.Arrays
+    sharded over `axis`.
+    """
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    R = start.shape[0]
+    pad = (-R) % n
+    if pad:
+        # padded rays point +x from far -x: they miss everything finite
+        start = np.concatenate(
+            [start, np.zeros((pad, 3), start.dtype)], axis=0
+        )
+        dpad = np.zeros((pad, 3), direction.dtype)
+        dpad[:, 0] = 1.0
+        direction = np.concatenate([direction, dpad], axis=0)
+
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return (
+            jax.device_put(start, sharding),
+            jax.device_put(direction, sharding),
+            R + pad,
+        )
+    # multi-process: each process materializes only its addressable shard
+    def to_global(arr):
+        per = arr.shape[0] // jax.process_count()
+        pid = jax.process_index()
+        local = arr[pid * per:(pid + 1) * per]
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return to_global(start), to_global(direction), R + pad
+
+
+def render_multihost(mesh: Mesh, patches, refractive_index, start, direction,
+                     screen_plane, resolution: int = 128, extent: float = 4.0,
+                     chunk_size: int = 0, axis: str = "rays"):
+    """Globally-sharded forward render.
+
+    start/direction: *global* numpy ray arrays (see process_ray_shard).
+    Returns the [res, res] image, replicated on every process (the bilinear
+    splat's scatter-add commutes across ray shards, so XLA reduces per-shard
+    partials with one psum).
+    """
+    rep = NamedSharding(mesh, P())
+    patches_r = jax.device_put(patches, rep)
+    screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
+    s, d, _ = process_ray_shard(
+        np.asarray(start), np.asarray(direction), mesh, axis
+    )
+    return render_lens_image(
+        patches_r, refractive_index, s, d, screen_r,
+        extent=extent, resolution=resolution, chunk_size=chunk_size,
+    )
+
+
+def make_multihost_train_step(mesh: Mesh, patches, screen_plane, target,
+                              resolution: int = 128, extent: float = 4.0,
+                              learning_rate: float = 1e-3,
+                              chunk_size: int = 0, axis: str = "rays"):
+    """SPMD train step over the global mesh: params replicated, rays sharded,
+    gradient psum over ICI/DCN inserted (and overlapped) by XLA.
+
+    Returns run(params, start_np, direction_np) -> (params, loss); start /
+    direction are global numpy arrays, sliced per process internally.
+    """
+    rep = NamedSharding(mesh, P())
+    patches_r = jax.device_put(patches, rep)
+    screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
+    target_r = jax.device_put(jnp.asarray(target), rep)
+
+    def loss_fn(params, start, direction):
+        return lens_loss(
+            params, patches_r, start, direction, screen_r, target_r,
+            resolution=resolution, extent=extent, chunk_size=chunk_size,
+        )
+
+    @jax.jit
+    def step(params: LensParams, start, direction):
+        loss, grads = jax.value_and_grad(loss_fn)(params, start, direction)
+        new = LensParams(
+            control_points=params.control_points
+            - learning_rate * grads.control_points,
+            refractive_index=params.refractive_index
+            - learning_rate * grads.refractive_index,
+        )
+        return new, loss
+
+    def run(params: LensParams, start, direction):
+        params = jax.device_put(params, rep)
+        s, d, _ = process_ray_shard(
+            np.asarray(start), np.asarray(direction), mesh, axis
+        )
+        return step(params, s, d)
+
+    return run

@@ -52,23 +52,20 @@ def pad_patches(patches: BezierPatches, multiple: int) -> BezierPatches:
     return BezierPatches(*(pad_leaf(leaf) for leaf in patches))
 
 
-def intersect_rays_patch_sharded(patches: BezierPatches, start, direction,
-                                 mesh: Mesh, patch_axis: str = "patches",
-                                 ray_axis: Optional[str] = None,
-                                 backend: str = "auto") -> RayHit:
-    """Mesh-sharded intersection: patches split along `patch_axis`, rays
-    optionally split along `ray_axis` (2D mesh)."""
-    n_shards = mesh.shape[patch_axis]
-    patches = pad_patches(patches, n_shards)
+@functools.lru_cache(maxsize=64)
+def _build_shard_fn(mesh: Mesh, patch_axis: str, ray_axis: Optional[str],
+                    backend: str):
+    """Cached jitted shard_map body, keyed on (mesh, axes, backend).
 
+    Caching matters twice over: an un-jitted shard_map dispatches every
+    traced op eagerly across the mesh (~100s/call on an 8-device CPU mesh vs
+    ~1s compiled), and a fresh jax.jit wrapper per call would retrace on
+    every eager invocation.  Under an outer jit the cached inner jit is
+    inlined for free.
+    """
     ray_spec = P(ray_axis) if ray_axis else P()
-    local_specs = BezierPatches(*(P(patch_axis) for _ in patches))
-    full_specs = BezierPatches(*(P() for _ in patches))
-
-    if backend == "auto":
-        from ..ops.intersect import _use_pallas
-
-        backend = "pallas" if _use_pallas() else "xla"
+    local_specs = BezierPatches(*(P(patch_axis) for _ in BezierPatches._fields))
+    full_specs = BezierPatches(*(P() for _ in BezierPatches._fields))
 
     @functools.partial(
         shard_map,
@@ -99,11 +96,24 @@ def intersect_rays_patch_sharded(patches: BezierPatches, start, direction,
         # stage 3: differentiable winner recompute from the replicated table
         return recompute_winner(full_patches, s, d, any_hit, win)
 
-    # jit the sharded computation: an un-jitted shard_map dispatches every
-    # traced op eagerly across the mesh (~100s/call on an 8-device CPU mesh
-    # vs ~1s compiled); under an outer jit this inner jit is inlined for free
-    shard_fn = jax.jit(shard_fn)
+    return jax.jit(shard_fn)
 
+
+def intersect_rays_patch_sharded(patches: BezierPatches, start, direction,
+                                 mesh: Mesh, patch_axis: str = "patches",
+                                 ray_axis: Optional[str] = None,
+                                 backend: str = "auto") -> RayHit:
+    """Mesh-sharded intersection: patches split along `patch_axis`, rays
+    optionally split along `ray_axis` (2D mesh)."""
+    n_shards = mesh.shape[patch_axis]
+    patches = pad_patches(patches, n_shards)
+
+    if backend == "auto":
+        from ..ops.intersect import _use_pallas
+
+        backend = "pallas" if _use_pallas() else "xla"
+
+    shard_fn = _build_shard_fn(mesh, patch_axis, ray_axis, backend)
     return shard_fn(
         patches, patches,
         start.astype(jnp.float32), direction.astype(jnp.float32),

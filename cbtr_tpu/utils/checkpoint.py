@@ -8,8 +8,8 @@ binary checkpoint:
 * `save_patches`/`load_patches` — the preprocessed BezierPatches SoA as one
   .npz (the expensive host preprocessing + Bezier build never has to rerun);
 * `save_params`/`load_params` — lens-optimization state (LensParams + step)
-  via orbax when available, .npz otherwise, so long optimization loops
-  resume after preemption.
+  as atomic .npz files, so long optimization loops resume after preemption
+  (see `latest_checkpoint` for the resume scan).
 """
 from __future__ import annotations
 

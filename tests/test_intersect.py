@@ -144,3 +144,45 @@ def test_batch_shape_preserved(sphere_scene):
     )
     assert hit.what.shape == (3, 4)
     assert hit.point.shape == (3, 4, 3)
+
+
+def test_select_candidates_matches_bruteforce_large_P():
+    """The O(R*P) select stage (no [P,P] one-hots) vs a NumPy brute-force
+    replay of the reference's two-pass retry semantics
+    (reference/bezierMesh.cpp:211-225), at a patch count (16384) the old
+    one-hot formulation could not materialize."""
+    from cbtr_tpu.ops.intersect import select_candidates, WHAT_INTERSECT
+
+    rng = np.random.default_rng(42)
+    R, P = 64, 16384
+    what_off = rng.integers(0, 5, (R, P)).astype(np.int32)
+    in_dom = rng.random((R, P)) < 0.3
+    code = what_off | (in_dom.astype(np.int32) << 3)
+    dist = rng.uniform(0.1, 100.0, (R, P)).astype(np.float32)
+    neighbours = rng.integers(0, P, (P, 3)).astype(np.int32)
+
+    any_hit, win, win_dist = select_candidates(
+        jnp.asarray(code), jnp.asarray(dist), jnp.asarray(neighbours)
+    )
+    any_hit, win, win_dist = map(np.asarray, (any_hit, win, win_dist))
+
+    what_on = np.where(in_dom, what_off, 3)
+    for r in range(R):
+        best_d, best_p = np.inf, -1
+        for p in range(P):
+            if what_on[r, p] == WHAT_INTERSECT:
+                cand_p, cand_d = p, dist[r, p]
+            elif what_on[r, p] < 3:
+                q = neighbours[p, what_on[r, p]]
+                if what_off[r, q] != WHAT_INTERSECT:
+                    continue
+                cand_p, cand_d = q, dist[r, q]
+            else:
+                continue
+            if cand_d < best_d:
+                best_d, best_p = cand_d, cand_p
+        assert bool(any_hit[r]) == (best_p >= 0), f"ray {r} hit mismatch"
+        if best_p >= 0:
+            assert win_dist[r] == np.float32(best_d), f"ray {r} distance"
+            # winner id must be *a* patch at the minimal distance
+            assert dist[r, win[r]] == np.float32(best_d), f"ray {r} winner"
