@@ -1,7 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: rays/s/chip, forward+backward, robot.stl lens.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose required keys are {"metric", "value", "unit",
+"vs_baseline"}; additional keys carry the honest-accounting extras:
+
+* pallas_xla_agreement — on-device hit-set agreement + distance-allclose
+  rate between the Pallas sweep kernel and the XLA sweep on a 4k-ray
+  sample, asserted >= 0.999 every run (the two backends share no kernel
+  code);
+* breakdown — sweep / select / recompute / backward stage times (ms) for
+  the headline shape;
+* sweep_gflops — achieved FLOP/s of the sweep stage against the kernel's
+  own cost model (ops/pallas_sweep.py cost_estimate), with the device kind
+  for roofline context;
+* robot_1024 / ellipsoid_512 — BASELINE configs 3 and 2 throughput rows
+  (full preset only).
 
 vs_baseline compares against the reference-semantics tracer: a faithful
 pure-NumPy single-ray implementation of the C++ reference's brute-force
@@ -19,12 +32,25 @@ import time
 import numpy as np
 
 
+def _timeit(fn, iters, *args):
+    import jax
+
+    out = fn(*args)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", choices=["smoke", "full"], default="full")
     parser.add_argument("--res", type=int, default=0, help="ray grid resolution")
     parser.add_argument("--iters", type=int, default=0)
     parser.add_argument("--baseline-rays", type=int, default=0)
+    parser.add_argument("--trace", default="", help="save a profiler trace here")
     args = parser.parse_args()
 
     smoke = args.preset == "smoke"
@@ -67,12 +93,120 @@ def main() -> None:
     loss, grads = step(params, start, direction)
     jax.block_until_ready((loss, grads))
 
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(step(params, start, direction))
+
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, start, direction)
     jax.block_until_ready((loss, grads))
     dt = time.perf_counter() - t0
     rays_per_s = n_rays * iters / dt
+
+    extras = {}
+
+    # ---- Pallas vs XLA on-device agreement (4k-ray sample) ----------------
+    from cbtr_tpu.ops.intersect import (
+        _use_pallas,
+        intersect_rays,
+        select_candidates,
+        sweep_codes_xla,
+    )
+
+    sample = 4096
+    s4 = start.reshape(-1, 3)[:sample]
+    d4 = direction.reshape(-1, 3)[:sample]
+    if _use_pallas():
+        hit_p = intersect_rays(scene.patches, s4, d4, backend="pallas")
+        hit_x = intersect_rays(scene.patches, s4, d4, backend="xla")
+        what_p, what_x = np.asarray(hit_p.what), np.asarray(hit_x.what)
+        agree = what_p == what_x
+        both = agree & (what_p == 4)
+        dist_ok = np.isclose(
+            np.asarray(hit_p.distance)[both], np.asarray(hit_x.distance)[both],
+            rtol=1e-4, atol=1e-4,
+        )
+        agreement = float((agree.sum() - (~dist_ok).sum()) / sample)
+        extras["pallas_xla_agreement"] = round(agreement, 5)
+        assert agreement >= 0.999, f"Pallas/XLA agreement {agreement}"
+
+    # ---- stage breakdown + sweep FLOP/s ------------------------------------
+    from cbtr_tpu.config import DEFAULT as CFG
+
+    if _use_pallas():
+        from cbtr_tpu.ops.pallas_sweep import sweep_codes_pallas as sweep_fn
+    else:
+        sweep_fn = sweep_codes_xla
+    R = min(n_rays, 65536)
+    sb = start.reshape(-1, 3)[:R]
+    db = direction.reshape(-1, 3)[:R]
+    P = scene.patches.num_patches
+
+    sweep_jit = jax.jit(lambda s, d: sweep_fn(scene.patches, s, d))
+    t_sweep = _timeit(sweep_jit, max(iters, 3), sb, db)
+    code, dist = sweep_jit(sb, db)
+    sel_jit = jax.jit(
+        lambda c, di: select_candidates(c, di, scene.patches.neighbours)
+    )
+    t_select = _timeit(sel_jit, max(iters, 3), code, dist)
+    full_jit = jax.jit(
+        lambda s, d: intersect_rays(scene.patches, s, d)
+    )
+    t_full = _timeit(full_jit, max(iters, 3), sb, db)
+    t_recompute = max(t_full - t_sweep - t_select, 0.0)
+    extras["breakdown_ms"] = {
+        "sweep": round(t_sweep * 1e3, 3),
+        "select": round(t_select * 1e3, 3),
+        "recompute_rest": round(t_recompute * 1e3, 3),
+        "rays": R,
+        "patches": P,
+    }
+    # the sweep's own flops model (ops/pallas_sweep.py cost_estimate)
+    flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
+    extras["sweep_gflops"] = round(flops_pair * R * P / t_sweep / 1e9, 1)
+    extras["device"] = jax.devices()[0].device_kind
+
+    # ---- BASELINE configs 2 and 3 (full preset) ----------------------------
+    if not smoke:
+        from cbtr_tpu.models import ellipsoid_lens_scene
+
+        big = robot_lens_scene(res=1024)
+        sb_, db_ = jnp.asarray(big.start), jnp.asarray(big.direction)
+        pb = params_from_scene(big)
+
+        def loss_big(p, s, d):
+            return lens_loss(
+                p, big.patches, s, d, big.screen_plane,
+                jnp.zeros((128, 128), jnp.float32), resolution=128,
+                chunk_size=131072,
+            )
+
+        step_big = jax.jit(jax.value_and_grad(loss_big))
+        t_big = _timeit(step_big, max(iters // 2, 2), pb, sb_, db_)
+        extras["robot_1024"] = {
+            "rays": int(sb_.shape[0]),
+            "rays_per_s": round(sb_.shape[0] / t_big, 1),
+        }
+
+        ell = ellipsoid_lens_scene(res=512, sectors=15, belts=5)
+        se, de = jnp.asarray(ell.start), jnp.asarray(ell.direction)
+        pe = params_from_scene(ell)
+
+        def loss_ell(p, s, d):
+            return lens_loss(
+                p, ell.patches, s, d, ell.screen_plane,
+                jnp.zeros((128, 128), jnp.float32), resolution=128,
+                chunk_size=65536,
+            )
+
+        step_ell = jax.jit(jax.value_and_grad(loss_ell))
+        t_ell = _timeit(step_ell, max(iters // 2, 2), pe, se, de)
+        extras["ellipsoid_512"] = {
+            "rays": int(se.shape[0]),
+            "patches": int(ell.patches.num_patches),
+            "rays_per_s": round(se.shape[0] / t_ell, 1),
+        }
 
     # ---- reference-semantics NumPy baseline (forward only, extrapolated) ----
     from cbtr_tpu.harness.reference_tracer import ReferenceTracer
@@ -94,6 +228,7 @@ def main() -> None:
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / base_rays_per_s, 2),
+                **extras,
             }
         )
     )

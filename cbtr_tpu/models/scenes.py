@@ -85,8 +85,11 @@ def dimpled_lens_scene(res: int = 128, sectors: int = 21, belts: int = 15,
 
 
 def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
-                     path: Optional[str] = None) -> LensScene:
-    """The free-form robot.stl fixture as a lens (450 patches)."""
+                     path: Optional[str] = None,
+                     refine: bool = False) -> LensScene:
+    """The free-form robot.stl fixture as a lens (450 patches; refine=True
+    runs one adaptive thick-patch split pass first — the workflow
+    reference/test.cpp:473-494 stops short of)."""
     path = path or "/root/reference/reference/robot.stl"
     mesh = TriMesh().read(path)
     mesh = preprocess(mesh)
@@ -96,4 +99,12 @@ def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
     scale = float(np.abs(mesh.tris).max())
     mesh.scale(1.0 / scale)
     mesh = preprocess(mesh)
+    if refine:
+        from ..bezier import split_thick_patches
+
+        patches = build_from_trimesh(mesh)
+        tris, _ = split_thick_patches(
+            patches, mesh.fellow_triangles, mesh.fellow_common_side_starts
+        )
+        mesh = preprocess(TriMesh(tris))
     return _finish(mesh, res, 1.8, refractive_index)

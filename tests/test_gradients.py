@@ -1,0 +1,371 @@
+"""Image-level gradient parity: autodiff vs central finite differences.
+
+The BASELINE metric is "pixel-grad allclose": d(image)/d(control_points) and
+d(image)/d(refractive_index) must be *correct derivatives*, not merely
+finite.  The pipeline's only non-smooth pieces are discrete selections
+(winning patch argmin, follow-side choice, alive/TIR masks), all behind
+stop_gradient — so the autodiff gradient of the full render equals, by
+construction, the gradient of the pipeline with those discrete choices
+frozen at the base point.  FD through the *unfrozen* pipeline is
+contaminated wherever the stencil crosses a selection flip (the derivative
+genuinely does not exist there), so the protocol is:
+
+1. run the true pipeline once, capturing both its gradient and the winner
+   selections its own forward pass made (`has_aux` — same trace, so the
+   frozen choices are exactly the ones the gradient corresponds to);
+2. central-difference the frozen-selection render (smooth by construction)
+   and require rtol <= 1e-2 agreement per coordinate;
+3. additionally FD the unfrozen pipeline on flip-robust coordinates as the
+   end-to-end sanity check.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu.models import sphere_lens_scene
+from cbtr_tpu.ops.intersect import WHAT_INTERSECT, intersect_rays, recompute_winner
+from cbtr_tpu.optics.lens import REFRACT_INSIDE, REFRACT_OUTSIDE, refract_rays
+from cbtr_tpu.render.render import render_lens_image, screen_hits, splat_bilinear
+
+RES = 24
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = sphere_lens_scene(res=RES, sectors=9, belts=4)
+    rng = np.random.default_rng(0)
+    # random probe makes the scalar sensitive to every pixel
+    probe = jnp.asarray(rng.uniform(0.5, 1.5, (RES, RES)), jnp.float32)
+    return scene, probe
+
+
+def _splat_loss(scene, probe, s2, d2, alive):
+    hit2d, on_screen = screen_hits(s2, d2, scene.screen_plane)
+    keep = alive & on_screen
+    hit2d = jnp.where(keep[..., None], hit2d, 0.0)
+    img = splat_bilinear(
+        hit2d.reshape(-1, 2), keep.astype(jnp.float32).reshape(-1), 4.0, RES
+    )
+    return jnp.sum(img * probe), hit2d, keep
+
+
+def _loss_true_aux(scene, probe, cp, n_refr):
+    """The production render composition, returning (loss, winners-its-own
+    -forward-selected) so the frozen comparison uses the *same trace's*
+    discrete choices."""
+    p = scene.patches._replace(control_points=cp)
+    h1 = intersect_rays(p, scene.start, scene.direction)
+    s1, d1, st1 = refract_rays(
+        p, n_refr, scene.start, scene.direction, REFRACT_INSIDE,
+        intersect_fn=lambda *_: h1,
+    )
+    h2 = intersect_rays(p, s1, d1)
+    s2, d2, st2 = refract_rays(
+        p, n_refr, s1, d1, REFRACT_OUTSIDE, intersect_fn=lambda *_: h2,
+    )
+    alive = (st1 == REFRACT_INSIDE) & (st2 == REFRACT_OUTSIDE)
+    loss, hit2d, keep = _splat_loss(scene, probe, s2, d2, alive)
+    aux = (
+        h1.what == WHAT_INTERSECT, jnp.maximum(h1.patch, 0),
+        h2.what == WHAT_INTERSECT, jnp.maximum(h2.patch, 0),
+        hit2d, keep,
+    )
+    return loss, aux
+
+
+def _loss_frozen(scene, probe, frozen, cp, n_refr, with_forward=False):
+    """The same composition with patch selection pinned to `frozen`; smooth
+    under FD perturbations."""
+    ah1, w1, ah2, w2 = frozen[:4]
+    p = scene.patches._replace(control_points=cp)
+    s1, d1, st1 = refract_rays(
+        p, n_refr, scene.start, scene.direction, REFRACT_INSIDE,
+        intersect_fn=lambda pp, s, d: recompute_winner(pp, s, d, ah1, w1),
+    )
+    s2, d2, st2 = refract_rays(
+        p, n_refr, s1, d1, REFRACT_OUTSIDE,
+        intersect_fn=lambda pp, s, d: recompute_winner(pp, s, d, ah2, w2),
+    )
+    alive = (st1 == REFRACT_INSIDE) & (st2 == REFRACT_OUTSIDE)
+    loss, hit2d, keep = _splat_loss(scene, probe, s2, d2, alive)
+    return (loss, (hit2d, keep)) if with_forward else loss
+
+
+def _img_frozen(scene, frozen, cp, n_refr):
+    """The frozen render's [RES,RES] image (for f64-reduced FD: the f32
+    on-device sum of ~600 pixels rounds at ~6e-5*|loss|, which would drown
+    the FD signal; per-pixel f32 values reduced in f64 on host do not)."""
+    ah1, w1, ah2, w2 = frozen[:4]
+    p = scene.patches._replace(control_points=cp)
+    s1, d1, st1 = refract_rays(
+        p, n_refr, scene.start, scene.direction, REFRACT_INSIDE,
+        intersect_fn=lambda pp, s, d: recompute_winner(pp, s, d, ah1, w1),
+    )
+    s2, d2, st2 = refract_rays(
+        p, n_refr, s1, d1, REFRACT_OUTSIDE,
+        intersect_fn=lambda pp, s, d: recompute_winner(pp, s, d, ah2, w2),
+    )
+    alive = (st1 == REFRACT_INSIDE) & (st2 == REFRACT_OUTSIDE)
+    hit2d, on_screen = screen_hits(s2, d2, scene.screen_plane)
+    keep = alive & on_screen
+    hit2d = jnp.where(keep[..., None], hit2d, 0.0)
+    return splat_bilinear(
+        hit2d.reshape(-1, 2), keep.astype(jnp.float32).reshape(-1), 4.0, RES
+    )
+
+
+@pytest.fixture(scope="module")
+def true_grad_and_frozen(setup):
+    scene, probe = setup
+    cp0 = scene.patches.control_points
+    n0 = jnp.float32(scene.refractive_index)
+    (loss, aux), grad = jax.value_and_grad(
+        lambda c: _loss_true_aux(scene, probe, c, n0), has_aux=True
+    )(cp0)
+    return float(loss), np.asarray(grad), jax.tree.map(jnp.asarray, aux)
+
+
+def _well_conditioned_patch_mask(frozen, hit2d_f, keep_f, num_patches):
+    """False for patches touched by forward-chaotic rays (see
+    test_frozen_loss_and_grad_equal_true_at_base docstring)."""
+    hit2d_t, keep_t = np.asarray(frozen[4]), np.asarray(frozen[5])
+    chaotic = (
+        (np.abs(hit2d_t - np.asarray(hit2d_f)).max(axis=-1) > 1e-3)
+        | (keep_t != np.asarray(keep_f))
+    )
+    ok = np.ones(num_patches, bool)
+    ok[np.asarray(frozen[1])[chaotic]] = False
+    ok[np.asarray(frozen[3])[chaotic]] = False
+    return ok, chaotic
+
+
+def test_composition_matches_render_lens_image(setup):
+    """The explicit composition used by these tests is the production
+    render (same library calls, same constants)."""
+    scene, probe = setup
+    cp0 = scene.patches.control_points
+    n0 = jnp.float32(scene.refractive_index)
+    loss_a, _ = _loss_true_aux(scene, probe, cp0, n0)
+    img = render_lens_image(
+        scene.patches, n0, scene.start, scene.direction, scene.screen_plane,
+        extent=4.0, resolution=RES,
+    )
+    loss_b = jnp.sum(img * probe)
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-4)
+
+
+def test_frozen_loss_and_grad_equal_true_at_base(setup, true_grad_and_frozen):
+    """grad(true) == grad(frozen) — the frozen program is the correct
+    linearization surrogate.
+
+    Tolerances: the two are separately compiled XLA programs; fusion changes
+    f32 rounding, and the fixed-4-iteration Newton root search amplifies
+    ulp-level input differences to ~1e-4 hit-point deviations on its
+    worst-converged rays (the reference's own worst-case accuracy is 2e-4,
+    reference/README.md:110).  A handful of coordinates touched by such rays
+    therefore deviate by a few percent in *both* value and gradient —
+    compilation noise, not an autodiff defect; the clean per-coordinate
+    correctness check is the FD test below, which compares a program's
+    gradient against finite differences of the *same compiled program*."""
+    scene, probe = setup
+    loss_t, grad_t, frozen = true_grad_and_frozen
+    cp0 = scene.patches.control_points
+    n0 = jnp.float32(scene.refractive_index)
+    loss_f, (hit2d_f, keep_f) = _loss_frozen(
+        scene, probe, frozen, cp0, n0, with_forward=True
+    )
+    assert loss_t == pytest.approx(float(loss_f), rel=1e-4)
+    grad_f = np.asarray(
+        jax.grad(lambda c: _loss_frozen(scene, probe, frozen, c, n0))(cp0)
+    )
+    # Rays whose *forward output* is chaotic between the two compilations —
+    # near-grazing/near-TIR rays where the 4-iteration Newton residual
+    # (~1e-4, see docstring) is amplified through 1/cos2-type factors, so
+    # the screen landing itself moves and the (huge, rapidly-varying)
+    # gradient is evaluated at effectively different points.  Comparing
+    # gradients across programs is only meaningful away from them.
+    ok, chaotic = _well_conditioned_patch_mask(
+        frozen, hit2d_f, keep_f, grad_t.shape[0]
+    )
+    assert chaotic.mean() <= 0.02, f"{chaotic.sum()} rays forward-chaotic"
+
+    scale = np.abs(grad_t).max()
+    gt, gf = grad_t[ok], grad_f[ok]
+    agree = np.isclose(gt, gf, atol=2e-4 * scale, rtol=1e-3)
+    assert agree.mean() >= 0.97, f"only {agree.mean():.4f} of grads agree"
+    np.testing.assert_allclose(  # the rest: small shifts, never blow-ups
+        gt[~agree], gf[~agree], rtol=0.15, atol=2e-3 * scale
+    )
+
+
+def test_control_point_image_gradients_match_fd(setup, true_grad_and_frozen):
+    """~24 control-point coordinates: central differences vs autodiff of the
+    same compiled frozen-selection render — the rigorous derivative check.
+    Coordinates of patches touched by ill-conditioned near-TIR rays are
+    skipped: there the true curvature is so large that the FD stencil spans
+    a genuinely different gradient (not an autodiff defect)."""
+    scene, probe = setup
+    _, grad_t, frozen = true_grad_and_frozen
+    cp0 = scene.patches.control_points
+    n0 = jnp.float32(scene.refractive_index)
+
+    img_f = jax.jit(lambda c: _img_frozen(scene, frozen, c, n0))
+    probe64 = np.asarray(probe, np.float64)
+
+    def loss_f(c):  # f64 host reduction of the f32 image
+        return float(np.sum(np.asarray(img_f(c), np.float64) * probe64))
+
+    grad = np.asarray(
+        jax.grad(lambda c: _loss_frozen(scene, probe, frozen, c, n0))(cp0)
+    )
+    assert np.isfinite(grad).all()
+    assert (np.abs(grad) > 0).any()
+    _, (hit2d_f, keep_f) = _loss_frozen(
+        scene, probe, frozen, cp0, n0, with_forward=True
+    )
+    ok, _ = _well_conditioned_patch_mask(
+        frozen, hit2d_f, keep_f, grad.shape[0]
+    )
+    grad_sel = np.where(ok[:, None, None], grad, 0.0)
+
+    flat = np.abs(grad_sel).ravel()
+    # Representative picks: the largest-|grad| coords are dominated by the
+    # near-TIR blow-up rays (enormous curvature — an FD stencil there spans
+    # a genuinely different gradient, and the alive/TIR masks themselves can
+    # flip inside it, which is a real discontinuity of the rendering
+    # function, not an autodiff bug).  So sample the 60th-97th |grad|
+    # percentile band + random nonzero coords, and drop any coordinate whose
+    # FD is unstable across two step sizes (mask flip inside the stencil).
+    rng = np.random.default_rng(7)
+    nonzero = np.flatnonzero(flat > 1e-3 * flat.max())
+    band = nonzero[
+        (flat[nonzero] >= np.percentile(flat[nonzero], 60))
+        & (flat[nonzero] <= np.percentile(flat[nonzero], 97))
+    ]
+    picks = list(rng.choice(band, 20, replace=False)) + list(
+        rng.choice(nonzero, 10, replace=False)
+    )
+
+    checked = 0
+    for idx in dict.fromkeys(int(i) for i in picks):
+        unravel = np.unravel_index(idx, grad.shape)
+        fds = []
+        # small steps: the splat landing is strongly nonlinear in the control
+        # points (empirically FD drifts ~15% by eps=2e-3) while the f64 image
+        # reduction keeps rounding noise ~0.5% even at eps=2.5e-4
+        for eps in (2.5e-4, 5e-4):
+            e = np.zeros(grad.shape, np.float32)
+            e[unravel] = eps
+            fds.append((loss_f(cp0 + e) - loss_f(cp0 - e)) / (2 * eps))
+        if abs(fds[0] - fds[1]) > 0.05 * (abs(fds[0]) + abs(fds[1]) + 1e-6):
+            continue  # mask flip inside the stencil
+        ad = float(grad[unravel])
+        assert ad == pytest.approx(fds[0], rel=1e-2, abs=1e-3 * flat.max()), (
+            f"coord {unravel}: autodiff {ad} vs FD {fds[0]}"
+        )
+        checked += 1
+    assert checked >= 20, f"only {checked} flip-free coordinates"
+
+
+def test_refractive_index_gradient_matches_fd_per_ray(setup, true_grad_and_frozen):
+    """d(screen landing)/d(n) for every live ray: forward-mode autodiff vs
+    per-ray central differences.
+
+    Image-level FD w.r.t. n is unusable — n perturbs all ~600 rays at once,
+    so some discrete flip always sits inside the stencil and its O(1) jump
+    divided by 2*eps swamps the smooth part (measured: FD estimates swing
+    from +16 to -111 across eps in [1e-4, 2e-3] around autodiff -26.8).
+    Per-ray positions let flips be excluded ray-by-ray instead, which is
+    both stricter (hundreds of independent derivative checks) and honest."""
+    scene, probe = setup
+    _, _, frozen = true_grad_and_frozen
+    cp0 = scene.patches.control_points
+
+    hit_fn = jax.jit(
+        lambda n: _loss_frozen(
+            scene, probe, frozen, cp0, n, with_forward=True
+        )[1]
+    )
+    n0 = jnp.float32(scene.refractive_index)
+    (hit0, keep0), (dhit, _) = jax.jvp(hit_fn, (n0,), (jnp.float32(1.0),))
+    dhit = np.asarray(dhit)
+    keep0 = np.asarray(keep0)
+    assert np.isfinite(dhit).all()
+
+    fds = []
+    keeps = [keep0]
+    for eps in (2.5e-4, 5e-4):
+        hp, kp = hit_fn(n0 + eps)
+        hm, km = hit_fn(n0 - eps)
+        fds.append((np.asarray(hp) - np.asarray(hm)) / (2 * eps))
+        keeps += [np.asarray(kp), np.asarray(km)]
+    stable_keep = np.logical_and.reduce([k == keep0 for k in keeps])
+    stable_fd = (
+        np.abs(fds[0] - fds[1]).max(axis=-1)
+        <= 0.01 * (np.abs(fds[0]) + np.abs(fds[1])).max(axis=-1) + 1e-4
+    )
+    sel = keep0 & stable_keep & stable_fd
+    assert sel.sum() >= 0.7 * keep0.sum(), "too many unstable rays"
+    scale = np.abs(dhit[sel]).max()
+    # per-ray vector relative error (a ray's tiny transverse component under
+    # its dominant one is FD noise, not a gradient defect)
+    err = np.linalg.norm(dhit[sel] - fds[0][sel], axis=-1)
+    mag = np.linalg.norm(dhit[sel], axis=-1)
+    close = err <= 2e-2 * mag + 1e-3 * scale
+    assert close.mean() >= 0.99, (
+        f"only {close.mean():.4f} of rays' d(hit)/d(n) match FD"
+    )
+
+
+def test_full_pipeline_fd_on_flip_robust_coords(setup, true_grad_and_frozen):
+    """End-to-end FD through the *production* render (render_lens_image,
+    nothing frozen): coordinates whose FD estimate is stable across two step
+    sizes (no discrete winner/mask flip inside the stencil) must match
+    autodiff at rtol 3e-2."""
+    scene, probe = setup
+    _, grad, frozen = true_grad_and_frozen
+    cp0 = scene.patches.control_points
+    n0 = jnp.float32(scene.refractive_index)
+
+    img_fn = jax.jit(
+        lambda c: render_lens_image(
+            scene.patches._replace(control_points=c), n0, scene.start,
+            scene.direction, scene.screen_plane, extent=4.0, resolution=RES,
+        )
+    )
+    probe64 = np.asarray(probe, np.float64)
+
+    def loss(c):  # f64 host reduction (see FD-noise note above)
+        return float(np.sum(np.asarray(img_fn(c), np.float64) * probe64))
+
+    # sample the same well-conditioned band as the frozen FD test
+    _, (hit2d_f, keep_f) = _loss_frozen(
+        scene, probe, frozen, cp0, n0, with_forward=True
+    )
+    ok, _ = _well_conditioned_patch_mask(frozen, hit2d_f, keep_f, grad.shape[0])
+    flat = np.abs(np.where(ok[:, None, None], grad, 0.0)).ravel()
+    nonzero = np.flatnonzero(flat > 1e-3 * flat.max())
+    band = nonzero[
+        (flat[nonzero] >= np.percentile(flat[nonzero], 60))
+        & (flat[nonzero] <= np.percentile(flat[nonzero], 97))
+    ]
+    rng = np.random.default_rng(3)
+    picks = rng.choice(band, 12, replace=False)
+
+    robust_checked = 0
+    for idx in picks:
+        unravel = np.unravel_index(int(idx), grad.shape)
+        fds = []
+        for eps in (2.5e-4, 5e-4):
+            e = np.zeros(grad.shape, np.float32)
+            e[unravel] = eps
+            fds.append((loss(cp0 + e) - loss(cp0 - e)) / (2 * eps))
+        if abs(fds[0] - fds[1]) > 0.1 * (abs(fds[0]) + abs(fds[1]) + 1e-6):
+            continue  # discrete flip inside the stencil; FD meaningless there
+        ad = float(grad[unravel])
+        assert ad == pytest.approx(fds[0], rel=3e-2, abs=2e-3 * flat.max()), (
+            f"coord {unravel}: autodiff {ad} vs FD {fds[0]}"
+        )
+        robust_checked += 1
+    assert robust_checked >= 6, "too few flip-free coordinates to trust the test"

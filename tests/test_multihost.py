@@ -1,0 +1,113 @@
+"""Multi-host distributed layer tests.
+
+Single-process coverage runs on the virtual 8-device CPU mesh (conftest);
+true multi-process coverage spawns two jax.distributed processes (Gloo CPU
+collectives) through benchmarks/multiprocess_render.py and checks both
+converge to the same replicated image.
+"""
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cbtr_tpu.models import sphere_lens_scene
+from cbtr_tpu.models.lens_model import params_from_scene
+from cbtr_tpu.parallel.multihost import (
+    init_distributed,
+    make_multihost_train_step,
+    multihost_mesh,
+    process_ray_shard,
+    render_multihost,
+)
+from cbtr_tpu.render.render import render_lens_image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return sphere_lens_scene(res=16, sectors=9, belts=4)
+
+
+def test_init_distributed_noop_single_process():
+    # no coordinator configured -> single-process fallback, not an error
+    assert init_distributed() is False
+
+
+def test_render_multihost_matches_single_device(scene):
+    mesh = multihost_mesh()
+    assert mesh.devices.size == 8
+    img = render_multihost(
+        mesh, scene.patches, scene.refractive_index, scene.start,
+        scene.direction, scene.screen_plane, resolution=32,
+    )
+    ref = render_lens_image(
+        scene.patches, scene.refractive_index, jnp.asarray(scene.start),
+        jnp.asarray(scene.direction), scene.screen_plane, resolution=32,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-4)
+
+
+def test_process_ray_shard_pads_to_device_multiple(scene):
+    mesh = multihost_mesh()
+    start = np.zeros((13, 3), np.float32)  # 13 % 8 != 0
+    direction = np.tile(np.array([1.0, 0, 0], np.float32), (13, 1))
+    s, d, R = process_ray_shard(start, direction, mesh)
+    assert R == 16 and s.shape == (16, 3)
+    # pad rays are valid unit rays (+x from origin) that miss the scene
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-6
+    )
+
+
+def test_multihost_train_step_descends(scene):
+    mesh = multihost_mesh()
+    params = params_from_scene(scene)
+    target = jnp.zeros((32, 32), jnp.float32)
+    step = make_multihost_train_step(
+        mesh, scene.patches, scene.screen_plane, target, resolution=32,
+        learning_rate=1e-4,
+    )
+    p1, loss1 = step(params, scene.start, scene.direction)
+    p2, loss2 = step(p1, scene.start, scene.direction)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert float(loss2) < float(loss1)
+    # params replicated: every shard identical
+    assert np.isfinite(np.asarray(p2.control_points)).all()
+
+
+@pytest.mark.slow
+def test_two_process_distributed_render(tmp_path):
+    """Two real jax.distributed processes (4 global devices) agree with the
+    single-process render bit-for-float."""
+    out = str(tmp_path / "mp")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/multiprocess_render.py"),
+         "--procs", "2", "--out", out, "--res", "16"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    files = sorted(glob.glob(out + ".proc*.npz"))
+    assert len(files) == 2
+    imgs = []
+    for f in files:
+        with np.load(f) as data:
+            assert int(data["n_processes"]) == 2
+            assert int(data["n_devices"]) == 4
+            imgs.append(data["img"])
+    # both processes hold the same replicated image
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    # and it matches the single-process render
+    scene = sphere_lens_scene(res=16, sectors=9, belts=4)
+    ref = render_lens_image(
+        scene.patches, scene.refractive_index, jnp.asarray(scene.start),
+        jnp.asarray(scene.direction), scene.screen_plane, resolution=32,
+    )
+    np.testing.assert_allclose(imgs[0], np.asarray(ref), atol=1e-4)

@@ -136,16 +136,5 @@ def test_gradients_flow_and_match_finite_differences(lens_scene):
     assert float(g) == pytest.approx(float(fd), rel=0.05, abs=1e-3)
 
 
-def test_gradients_wrt_control_points(lens_scene):
-    start = jnp.asarray([[0.0, 0.25, 0.1]], jnp.float32)
-    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
-
-    def loss(cp):
-        patches = lens_scene._replace(control_points=cp)
-        _, out_d, alive, _, p_out = trace_through_lens(patches, N_GLASS, start, d)
-        return jnp.sum(jnp.where(alive[..., None], p_out, 0.0) ** 2)
-
-    g = jax.grad(loss)(lens_scene.control_points)
-    g = np.asarray(g)
-    assert np.isfinite(g).all()
-    assert (np.abs(g) > 0).any(), "no gradient reached the control points"
+# Control-point gradient *correctness* (image-level, autodiff vs central
+# finite differences on ~30 coordinates) lives in tests/test_gradients.py.
