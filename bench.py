@@ -51,6 +51,10 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=0)
     parser.add_argument("--baseline-rays", type=int, default=0)
     parser.add_argument("--trace", default="", help="save a profiler trace here")
+    parser.add_argument("--big-res", type=int, default=1024,
+                        help="robot config-3 resolution (full preset)")
+    parser.add_argument("--ell-res", type=int, default=512,
+                        help="ellipsoid config-2 resolution (full preset)")
     args = parser.parse_args()
 
     smoke = args.preset == "smoke"
@@ -171,7 +175,7 @@ def main() -> None:
     if not smoke:
         from cbtr_tpu.models import ellipsoid_lens_scene
 
-        big = robot_lens_scene(res=1024)
+        big = robot_lens_scene(res=args.big_res)
         sb_, db_ = jnp.asarray(big.start), jnp.asarray(big.direction)
         pb = params_from_scene(big)
 
@@ -184,12 +188,12 @@ def main() -> None:
 
         step_big = jax.jit(jax.value_and_grad(loss_big))
         t_big = _timeit(step_big, max(iters // 2, 2), pb, sb_, db_)
-        extras["robot_1024"] = {
+        extras[f"robot_{args.big_res}"] = {
             "rays": int(sb_.shape[0]),
             "rays_per_s": round(sb_.shape[0] / t_big, 1),
         }
 
-        ell = ellipsoid_lens_scene(res=512, sectors=15, belts=5)
+        ell = ellipsoid_lens_scene(res=args.ell_res, sectors=15, belts=5)
         se, de = jnp.asarray(ell.start), jnp.asarray(ell.direction)
         pe = params_from_scene(ell)
 
@@ -202,7 +206,7 @@ def main() -> None:
 
         step_ell = jax.jit(jax.value_and_grad(loss_ell))
         t_ell = _timeit(step_ell, max(iters // 2, 2), pe, se, de)
-        extras["ellipsoid_512"] = {
+        extras[f"ellipsoid_{args.ell_res}"] = {
             "rays": int(se.shape[0]),
             "patches": int(ell.patches.num_patches),
             "rays_per_s": round(se.shape[0] / t_ell, 1),

@@ -38,6 +38,15 @@ class Config:
     minimal_ray_distance: float = 1.0
     intersection_estimation_epsilon: float = 1.0e-6
 
+    # Improvement over the reference (not a reference constant): clamp the
+    # secant-style first estimate into the [closer, further] bracket.  The
+    # reference's unclamped secant (bezierTriangle.cpp:137-152) can
+    # extrapolate far outside the bracket on concave geometry (e.g. the
+    # dimpled solid's waist) and lose real exit hits; clamping recovers them
+    # and is a no-op whenever the estimate already lies inside the bracket.
+    # Set False for strict reference-parity semantics.
+    clamp_secant_estimate: bool = True
+
     # --- thick-patch refinement (bezierMesh.h:12-14) ---
     sample_ratios_original_side: tuple = (0.25, 0.5, 0.75)
     bezier_height_per_perimeter_limit: float = 0.03

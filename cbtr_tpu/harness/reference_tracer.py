@@ -108,6 +108,9 @@ class ReferenceTracer:
             middle = (closer + further) / 2.0
         else:
             middle = (diff_c * further - diff_f * closer) / denom
+        if CFG.clamp_secant_estimate:
+            lo, hi = min(closer, further), max(closer, further)
+            middle = min(max(middle, lo), hi)
 
         proj_dir = n.copy()
         distance = middle
@@ -248,6 +251,10 @@ class FastReferenceTracer(ReferenceTracer):
             (closer + further) / 2.0,
             (diff_c * further - diff_f * closer) / denom_safe,
         )
+        if CFG.clamp_secant_estimate:
+            middle = np.clip(
+                middle, np.minimum(closer, further), np.maximum(closer, further)
+            )
 
         proj_dir = n.copy()
         distance = middle

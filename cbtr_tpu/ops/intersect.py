@@ -146,7 +146,14 @@ def _candidates_core(patches: BezierPatches, start, direction):
         (closer + further) / 2.0,
         secant,
     )
-    middle = jnp.clip(middle, -1e7, 1e7)
+    if CFG.clamp_secant_estimate:
+        # keep the first estimate inside the bracket (see config.py — the
+        # unclamped reference secant loses exit hits on concave geometry)
+        lo = jnp.minimum(closer, further)
+        hi = jnp.maximum(closer, further)
+        middle = jnp.clip(middle, lo, hi)
+    else:
+        middle = jnp.clip(middle, -1e7, 1e7)
 
     # fixed-iteration Newton-like refinement, statically unrolled (cpp:155-164)
     proj_dir = jnp.broadcast_to(n, middle.shape + (3,))

@@ -183,7 +183,13 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz, code_ref, dist_ref):
         (closer + further) / 2.0,
         secant,
     )
-    middle = jnp.clip(middle, -1e7, 1e7)
+    if CFG.clamp_secant_estimate:
+        # bracket clamp (see config.py): recovers concave-fixture exit hits
+        middle = jnp.clip(
+            middle, jnp.minimum(closer, further), jnp.maximum(closer, further)
+        )
+    else:
+        middle = jnp.clip(middle, -1e7, 1e7)
 
     db0, db1, db2 = row(_ROW_DB), row(_ROW_DB + 1), row(_ROW_DB + 2)
 

@@ -92,13 +92,7 @@ def test_exit_hit_from_inside(sphere_scene):
 
 def test_ray_collinearity_like_reference():
     """reference/test.cpp:237-319: walk a ray through a solid, collecting
-    entry/exit points; all must lie on the original line.
-
-    Uses a smooth solid of revolution: on the dimpled fixture's concave
-    waist the reference's secant first-estimate (bezierTriangle.cpp:137-152)
-    can extrapolate outside the bracket and lose the exit hit — a faithful
-    limitation of the shared algorithm, reproduced by this implementation.
-    """
+    entry/exit points; all must lie on the original line."""
     mesh = preprocess(make_ellipsoid(15, 7, (1.0, 1.0, 2.0)))
     mesh.translate((5.0, 0.0, 0.0))
     mesh = preprocess(mesh)
@@ -186,3 +180,35 @@ def test_select_candidates_matches_bruteforce_large_P():
             assert win_dist[r] == np.float32(best_d), f"ray {r} distance"
             # winner id must be *a* patch at the minimal distance
             assert dist[r, win[r]] == np.float32(best_d), f"ray {r} winner"
+
+
+def test_dimpled_fixture_exit_hit_found():
+    """The reference's unclamped secant estimate (bezierTriangle.cpp:137-152)
+    extrapolates outside the bracket on the dimpled fixture's concave waist
+    and loses the exit hit; the bracket-clamped estimate
+    (config.clamp_secant_estimate, an improvement over the reference)
+    recovers it — entry AND exit must both land, collinearly."""
+    from cbtr_tpu.mesh.core import make_dimpled_solid
+
+    mesh = preprocess(make_dimpled_solid(21, 15, (1.0, 4.0, 2.0)))
+    mesh.translate((5.0, 0.0, 0.0))
+    mesh = preprocess(mesh)
+    patches = build_from_trimesh(mesh)
+
+    d = np.array([1.0, 0.02, 0.01], np.float32)
+    d /= np.linalg.norm(d)
+    start = np.zeros(3, np.float32)
+    points = []
+    s = start.copy()
+    for _ in range(2):
+        hit = intersect_rays(patches, jnp.asarray(s[None]), jnp.asarray(d[None]))
+        if int(hit.what[0]) != WHAT_INTERSECT:
+            break
+        p = np.asarray(hit.point[0])
+        points.append(p)
+        s = p
+    assert len(points) == 2, "clamped secant must find entry AND exit"
+    err = geom.ray_average_error_squared(
+        jnp.asarray(start), jnp.asarray(d), jnp.asarray(np.stack(points))
+    )
+    assert float(err) < 1e-6

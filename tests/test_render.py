@@ -149,3 +149,31 @@ def test_visualizers_emit_meshes(tmp_path):
     out = tmp_path / "beam.stl"
     beam.write(str(out))
     assert out.exists()
+
+
+def test_dimpled_lens_scene_end_to_end():
+    """The concave dimpled fixture (reference/test.cpp:241-245) as a lens,
+    end to end: with the bracket-clamped secant estimate (an improvement
+    over the reference — see config.clamp_secant_estimate) enough rays
+    complete the enter->exit chain to form a non-empty image."""
+    from cbtr_tpu.models import dimpled_lens_scene
+    from cbtr_tpu.optics import REFRACT_INSIDE, REFRACT_OUTSIDE, refract_rays
+    from cbtr_tpu.render.render import render_lens_image
+
+    scene = dimpled_lens_scene(res=16)
+    s1, d1, st1 = refract_rays(
+        scene.patches, scene.refractive_index, scene.start, scene.direction,
+        REFRACT_INSIDE,
+    )
+    s2, d2, st2 = refract_rays(
+        scene.patches, scene.refractive_index, s1, d1, REFRACT_OUTSIDE,
+    )
+    alive = (np.asarray(st1) == REFRACT_INSIDE) & (
+        np.asarray(st2) == REFRACT_OUTSIDE
+    )
+    assert alive.mean() > 0.5, f"only {alive.mean():.2f} rays completed"
+    img = render_lens_image(
+        scene.patches, scene.refractive_index, scene.start, scene.direction,
+        scene.screen_plane, extent=4.0, resolution=16,
+    )
+    assert float(jnp.sum(img)) > 0.3 * alive.sum()
