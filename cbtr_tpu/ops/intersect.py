@@ -236,6 +236,11 @@ def sweep_codes_xla(patches: BezierPatches, start, direction):
     return code, dist
 
 
+# above this patch count the [P,P] one-hot vote matmul (memory O(P^2),
+# flops O(R*P^2)) loses to the O(R*P) gather formulation
+_SELECT_MXU_MAX_P = 2048
+
+
 def select_candidates(code, dist, neighbours):
     """Reconstruct reference two-pass semantics from sweep codes and pick the
     min-distance winner (reference/bezierMesh.cpp:211-225).
@@ -243,28 +248,51 @@ def select_candidates(code, dist, neighbours):
     code/dist [R,P]; neighbours [P,3] i32 (global ids).  Returns
     (any_hit [R] bool, win_patch [R] i32, win_dist [R] f32).
 
-    The follow-side retry is O(R*P): for side s the neighbour column
-    ``q_s = neighbours[:, s]`` is a *static* [P] index vector, so the retry
-    candidate of every pair (r, p) with ``what_on == s`` is fetched by three
-    whole-column gathers ``dist[:, q_s]`` / ``code[:, q_s]`` — constant
-    permutations XLA lowers to contiguous copies, no per-element dynamic
-    gather and no [P,P] one-hot materialization (which was O(P^2) memory and
-    died at the 1e4..1e6 patches a refined mesh implies).  A retry candidate
-    at slot p carries the *neighbour's* distance and patch id; the same
-    candidate multiset as the reference's forward retry, so the min-distance
-    winner is identical.
+    Two formulations with identical winners (tested against each other and
+    against a NumPy brute force):
+
+    * P <= 2048 — **MXU votes**: patch q receives "follow votes" from its
+      neighbours via three one-hot [R,P] @ [P,P] bf16 matmuls (exact: 0/1
+      values, sums <= 3).  A pair (r, q) is a retry candidate iff voted and
+      its own gate-OFF result is cIntersect; its distance is read *in
+      place* at slot q — no value gathers at all, and the matmul rides the
+      MXU (~0.1 ms at the bench shape vs ~8 ms for lane-axis gathers).
+    * P > 2048 — **column gathers**: for side s the static index vector
+      ``q_s = neighbours[:, s]`` fetches the neighbour's code/dist columns;
+      O(R*P) memory, no [P,P] materialization, scales to the 1e4..1e6
+      patches of refined meshes.
+
+    Both place the retry candidate so the winner id and distance are the
+    neighbour's own — the same candidate multiset as the reference's
+    forward retry.
     """
     P = code.shape[-1]
     what_off = code & 7
     in_dom = (code >> 3) > 0
     what_on = jnp.where(in_dom, what_off, WHAT_NONE)
+    hit_off = what_off == WHAT_INTERSECT
+
+    if P <= _SELECT_MXU_MAX_P:
+        votes = None
+        for s in range(3):
+            a_s = (
+                neighbours[:, s, None] == jnp.arange(P, dtype=neighbours.dtype)
+            ).astype(jnp.bfloat16)
+            f_s = (what_on == s).astype(jnp.bfloat16)
+            v = jnp.dot(f_s, a_s, preferred_element_type=jnp.float32)
+            votes = v if votes is None else votes + v
+        retried = (votes > 0.0) & hit_off
+        considered = (what_on == WHAT_INTERSECT) | retried
+        key = jnp.where(considered, dist, _BIG)
+        best = jnp.argmin(key, axis=-1)
+        best_key = jnp.min(key, axis=-1)
+        return best_key < _BIG, best.astype(jnp.int32), best_key
 
     ids = jnp.arange(P, dtype=jnp.int32)
     # pass 1 (gate ON) direct hits, keyed at their own slot
     key = jnp.where(what_on == WHAT_INTERSECT, dist, _BIG)
     win_ids = jnp.broadcast_to(ids, key.shape)
 
-    hit_off = what_off == WHAT_INTERSECT
     for s in range(3):
         q_s = neighbours[:, s].astype(jnp.int32)          # [P] static indices
         key_s = jnp.where(

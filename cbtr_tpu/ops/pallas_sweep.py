@@ -56,13 +56,35 @@ _WHAT_INTERSECT = 4
 TILE_P = 8
 TILE_R = 128
 
+# patch-block size of the VMEM-resident kernel's in-kernel loop.  Larger
+# blocks cut loop/branch overhead per patch (the all-skip floor) at the
+# cost of skip granularity; measured on the robot 512x512 bench shape
+# (skip rates 8->76%, 16->67%, 32->61%) the total-time optimum is ~32.
+BLOCK_P = 32
+
 
 def _safe_div(num, den, eps=1e-12):
     den_safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
     return num / den_safe
 
 
+def _sphere_hit(row, sx, sy, sz, dx, dy, dz):
+    """Bounding-sphere cull test (the Ritter cull the reference declared but
+    never implemented: reference/3dGeomUtil.h:351-362, README.md:194).
+    Patch surface ⊂ convex hull of its control net ⊂ the packed (inflated)
+    sphere."""
+    bcx, bcy, bcz = row(_ROW_BSPHERE), row(_ROW_BSPHERE + 1), row(_ROW_BSPHERE + 2)
+    brad = row(_ROW_BSPHERE + 3)
+    relx, rely, relz = bcx - sx, bcy - sy, bcz - sz
+    t_ca = relx * dx + rely * dy + relz * dz
+    rel2 = relx * relx + rely * rely + relz * relz
+    r2 = brad * brad
+    return ((rel2 - t_ca * t_ca) <= r2) & ((t_ca >= 0.0) | (rel2 <= r2))
+
+
 def _sweep_kernel(rays_ref, patch_ref, code_ref, dist_ref):
+    """2D-grid kernel: one (ray-tile x 8-patch-tile) invocation per block.
+    Used when the patch table is too large to stay VMEM-resident."""
     pt = patch_ref[:]                     # [TILE_P, 64]
     rays = rays_ref[:]                    # [8, TILE_R]
 
@@ -72,28 +94,63 @@ def _sweep_kernel(rays_ref, patch_ref, code_ref, dist_ref):
     sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]   # [1, TILE_R]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
 
-    # ---- bounding-sphere cull prologue (the Ritter cull the reference
-    # declared but never implemented: reference/3dGeomUtil.h:351-362,
-    # README.md:194).  Patch surface ⊂ convex hull of its control net ⊂ the
-    # packed (inflated) sphere; if every pair in this tile misses, the whole
-    # Newton block is skipped and the tile stays WHAT_NONE. ----
-    bcx, bcy, bcz = row(_ROW_BSPHERE), row(_ROW_BSPHERE + 1), row(_ROW_BSPHERE + 2)
-    brad = row(_ROW_BSPHERE + 3)
-    relx, rely, relz = bcx - sx, bcy - sy, bcz - sz
-    t_ca = relx * dx + rely * dy + relz * dz
-    rel2 = relx * relx + rely * rely + relz * relz
-    r2 = brad * brad
-    sphere_hit = ((rel2 - t_ca * t_ca) <= r2) & ((t_ca >= 0.0) | (rel2 <= r2))
-
+    sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
     code_ref[:] = jnp.full(sphere_hit.shape, _WHAT_NONE, jnp.int32)
     dist_ref[:] = jnp.zeros(sphere_hit.shape, jnp.float32)
 
     @pl.when(jnp.any(sphere_hit))
     def _compute():
-        _sweep_tile(row, sx, sy, sz, dx, dy, dz, code_ref, dist_ref)
+        code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
+        code_ref[:] = code
+        dist_ref[:] = dist
 
 
-def _sweep_tile(row, sx, sy, sz, dx, dy, dz, code_ref, dist_ref):
+def _sweep_kernel_resident(rays_ref, patch_ref, code_ref, dist_ref):
+    """1D-grid kernel: one invocation per 128-ray tile with the ENTIRE patch
+    table VMEM-resident; 8-patch blocks stream through an in-kernel loop
+    behind the sphere cull.
+
+    Why: the 2D grid pays grid-sequencing + DMA overhead per tile whether or
+    not `pl.when` skips the Newton block — measured on the robot 512x512
+    bench shape (65536 rays x 450 patches), 76% of 8-patch tiles are
+    sphere-skippable yet the 2D kernel ran at ~full-work time (13.7 ms vs a
+    24.6 ms no-cull run).  In-kernel blocks make a skipped block cost just
+    the sphere test + a scalar branch; with the measured BLOCK_P=32 optimum
+    the same shape runs in 8.3 ms (4.1 ms loop floor + 4.2 ms surviving
+    Newton work).
+    """
+    rays = rays_ref[:]                    # [8, TILE_R]
+    sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+
+    code_ref[:] = jnp.full(code_ref.shape, _WHAT_NONE, jnp.int32)
+    dist_ref[:] = jnp.zeros(dist_ref.shape, jnp.float32)
+
+    n_blocks = patch_ref.shape[0] // BLOCK_P
+
+    def body(k, carry):
+        off = k * BLOCK_P
+        pt = patch_ref[pl.ds(off, BLOCK_P), :]   # [BLOCK_P, 64]
+
+        def row(j):
+            return pt[:, j:j + 1]
+
+        sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
+
+        @pl.when(jnp.any(sphere_hit))
+        def _compute():
+            code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
+            code_ref[pl.ds(off, BLOCK_P), :] = code
+            dist_ref[pl.ds(off, BLOCK_P), :] = dist
+
+        return carry
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
+    """Full candidate evaluation for an 8-patch x TILE_R-ray tile; returns
+    (code, dist) arrays."""
     nx, ny, nz, c = (row(_ROW_PLANE + k) for k in range(4))
     h_in, h_out = row(_ROW_H), row(_ROW_H + 1)
 
@@ -287,9 +344,7 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz, code_ref, dist_ref):
         jnp.where(outside == 2, 1, jnp.where(outside == 4, 2, _WHAT_INTERSECT)),
     )
     what = jnp.where(valid, what, _WHAT_NONE)
-
-    code_ref[:] = what | (in_dom.astype(jnp.int32) << 3)
-    dist_ref[:] = distance
+    return what | (in_dom.astype(jnp.int32) << 3), distance
 
 
 def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
@@ -321,17 +376,48 @@ def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
     return rows.T  # [P_pad, 64]
 
 
+# largest patch table kept fully VMEM-resident by the 1D-grid kernel:
+# table Pp*64*4 B + two [Pp, TILE_R] out blocks (8 B/pair) <= ~4.5 MB
+_RESIDENT_MAX_P = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sweep_call(rays, patch_t, interpret: bool):
     Rp = rays.shape[1]
     Pp = patch_t.shape[0]
-    # ray tile on the outer grid axis: the [8, TILE_R] ray block stays
-    # resident while the inner loop streams patch tiles
-    grid = (Rp // TILE_R, Pp // TILE_P)
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
+    cost = pl.CostEstimate(
+        flops=flops_pair * Rp * Pp,
+        bytes_accessed=8 * Rp * Pp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
+        transcendentals=10 * Rp * Pp,
+    )
+    if Pp <= _RESIDENT_MAX_P:
+        return pl.pallas_call(
+            _sweep_kernel_resident,
+            grid=(Rp // TILE_R,),
+            in_specs=[
+                pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pp, _N_ROWS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Pp, TILE_R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pp, TILE_R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Pp, Rp), jnp.int32),
+                jax.ShapeDtypeStruct((Pp, Rp), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(rays, patch_t)
+    # large meshes: 2D grid streaming 8-patch tiles from HBM
     return pl.pallas_call(
         _sweep_kernel,
-        grid=grid,
+        grid=(Rp // TILE_R, Pp // TILE_P),
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
@@ -348,11 +434,7 @@ def _sweep_call(rays, patch_t, interpret: bool):
             jax.ShapeDtypeStruct((Pp, Rp), jnp.int32),
             jax.ShapeDtypeStruct((Pp, Rp), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_pair * Rp * Pp,
-            bytes_accessed=8 * Rp * Pp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
-            transcendentals=10 * Rp * Pp,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(rays, patch_t)
 
@@ -379,6 +461,6 @@ def sweep_codes_pallas(patches: BezierPatches, start, direction,
     # padded rays point along +x from the origin; results are sliced away
     pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
     rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
-    patch_t = pack_patch_table(patches, TILE_P)
+    patch_t = pack_patch_table(patches, BLOCK_P)
     code, dist = _sweep_call(rays.T, patch_t, bool(interpret))
     return code.T[:R, :P], dist.T[:R, :P]

@@ -212,3 +212,25 @@ def test_dimpled_fixture_exit_hit_found():
         jnp.asarray(start), jnp.asarray(d), jnp.asarray(np.stack(points))
     )
     assert float(err) < 1e-6
+
+
+def test_select_formulations_agree(monkeypatch):
+    """The MXU-vote (small P) and column-gather (large P) select
+    formulations produce identical winners on random data."""
+    import cbtr_tpu.ops.intersect as I
+
+    rng = np.random.default_rng(8)
+    R, P = 128, 512
+    what_off = rng.integers(0, 5, (R, P)).astype(np.int32)
+    in_dom = rng.random((R, P)) < 0.4
+    code = jnp.asarray(what_off | (in_dom.astype(np.int32) << 3))
+    dist = jnp.asarray(rng.uniform(0.1, 100.0, (R, P)).astype(np.float32))
+    neighbours = jnp.asarray(rng.integers(0, P, (P, 3)).astype(np.int32))
+
+    a = I.select_candidates(code, dist, neighbours)  # MXU path (P<=2048)
+    monkeypatch.setattr(I, "_SELECT_MXU_MAX_P", 0)   # force gather path
+    b = I.select_candidates(code, dist, neighbours)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    # winner ids may differ only on exact distance ties; none in this data
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

@@ -68,3 +68,21 @@ def test_end_to_end_backends_agree(scene, rays):
         np.asarray(a.point)[both], np.asarray(b.point)[both],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_resident_and_2d_grid_kernels_agree(scene, rays, monkeypatch):
+    """The VMEM-resident 1D-grid kernel (small P) and the streaming 2D-grid
+    kernel (large P) compute identical codes/distances."""
+    import cbtr_tpu.ops.pallas_sweep as PS
+
+    start, d = rays
+    code_a, dist_a = sweep_codes_pallas(scene, start, d, interpret=True)
+    monkeypatch.setattr(PS, "_RESIDENT_MAX_P", 0)  # force the 2D-grid path
+    PS._sweep_call._clear_cache()
+    code_b, dist_b = sweep_codes_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(code_a), np.asarray(code_b))
+    hit = np.asarray((code_a & 7) == WHAT_INTERSECT)
+    np.testing.assert_allclose(
+        np.asarray(dist_a)[hit], np.asarray(dist_b)[hit], rtol=1e-5, atol=1e-6
+    )
+    PS._sweep_call._clear_cache()
