@@ -45,6 +45,12 @@ class Config:
     # dimpled solid's waist) and lose real exit hits; clamping recovers them
     # and is a no-op whenever the estimate already lies inside the bracket.
     # Set False for strict reference-parity semantics.
+    #
+    # TRACE-TIME CAPTURE: this flag (like every Config field) is read while
+    # Python traces the jitted/Pallas functions.  Set it BEFORE the first
+    # call in the process — toggling later is silently ignored by the
+    # jit/Mosaic compilation caches.  tests/test_parity_refraction.py pins
+    # the flag=False (strict upstream) semantics in a fresh subprocess.
     clamp_secant_estimate: bool = True
 
     # --- thick-patch refinement (bezierMesh.h:12-14) ---

@@ -36,8 +36,11 @@ def params_from_scene(scene) -> LensParams:
 
 def lens_forward(params: LensParams, patches, start, direction, screen_plane,
                  resolution: int = 128, extent: float = 4.0,
-                 chunk_size: int = 0):
-    """Irradiance image for the current lens parameters."""
+                 chunk_size: int = 0, ray_weights=None):
+    """Irradiance image for the current lens parameters.
+
+    ray_weights: optional per-ray multiplier; 0 removes a ray (shard-padding
+    masks, emitter importance)."""
     p = patches._replace(control_points=params.control_points)
     return render_lens_image(
         p,
@@ -48,15 +51,17 @@ def lens_forward(params: LensParams, patches, start, direction, screen_plane,
         extent=extent,
         resolution=resolution,
         chunk_size=chunk_size,
+        weights=ray_weights,
     )
 
 
 def lens_loss(params: LensParams, patches, start, direction, screen_plane,
               target, resolution: int = 128, extent: float = 4.0,
-              chunk_size: int = 0):
+              chunk_size: int = 0, ray_weights=None):
     img = lens_forward(
         params, patches, start, direction, screen_plane,
         resolution=resolution, extent=extent, chunk_size=chunk_size,
+        ray_weights=ray_weights,
     )
     return jnp.mean((img - target) ** 2)
 

@@ -311,11 +311,20 @@ def select_candidates(code, dist, neighbours):
     return any_hit, win.astype(jnp.int32), best_key
 
 
-def recompute_winner(patches: BezierPatches, start, direction, any_hit, win) -> RayHit:
-    """Differentiable re-evaluation of each ray's winning patch."""
+def recompute_winner(patches: BezierPatches, start, direction, any_hit, win,
+                     with_check: bool = False):
+    """Differentiable re-evaluation of each ray's winning patch.
+
+    with_check=True additionally returns the number of rays whose winner the
+    sweep accepted but the XLA recompute rejects (``what != cIntersect``) —
+    the sweep (Pallas, f32-reassociated) is trusted for acceptance, so a
+    nonzero count means a backend disagreement that would otherwise silently
+    ship a rejected candidate's fields.  bench.py reports and bounds it;
+    tests assert it is 0 on CPU where both stages share XLA arithmetic.
+    """
     rows = patches.row(jnp.maximum(win, 0))
     what_w, dist_w, pt, n, b, cos_w = patch_candidates(rows, start, direction, False)
-    return RayHit(
+    hit = RayHit(
         what=jnp.where(any_hit, WHAT_INTERSECT, WHAT_NONE).astype(jnp.int32),
         distance=jnp.where(any_hit, dist_w, _BIG),
         point=pt,
@@ -324,6 +333,12 @@ def recompute_winner(patches: BezierPatches, start, direction, any_hit, win) -> 
         cos_incidence=cos_w,
         patch=jnp.where(any_hit, win, -1).astype(jnp.int32),
     )
+    if with_check:
+        disagree = jnp.sum(
+            (any_hit & (what_w != WHAT_INTERSECT)).astype(jnp.int32)
+        )
+        return hit, disagree
+    return hit
 
 
 def candidates_with_retry(local_patches: BezierPatches,

@@ -347,17 +347,56 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
     return what | (in_dom.astype(jnp.int32) << 3), distance
 
 
-def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
-    """Row-major [P_pad, 64] feature table (sublanes = patches, lanes = features)."""
-    P = patches.num_patches
-    # per-patch bounding sphere over the control net (surface ⊂ convex hull
-    # of the 10 control points).  Inflated 25% so gate-OFF follow-side hits —
-    # which converge slightly outside the patch domain — stay inside.
+def patch_spheres(patches: BezierPatches):
+    """Per-patch bounding sphere over the control net (surface ⊂ convex hull
+    of the 10 control points).  Inflated 25% so gate-OFF follow-side hits —
+    which converge slightly outside the patch domain — stay inside.
+    Returns (center [P,3], radius [P])."""
     center = jnp.mean(patches.control_points, axis=1)  # [P,3]
     radius = jnp.max(
         jnp.linalg.norm(patches.control_points - center[:, None, :], axis=-1),
         axis=-1,
     ) * 1.25 + 1e-5
+    return center, radius
+
+
+def mesh_sphere(patches: BezierPatches) -> jnp.ndarray:
+    """Whole-mesh bounding sphere [4] = (cx, cy, cz, r) enclosing every patch
+    sphere — the tile-level early-exit gate (a 128-ray tile whose every ray
+    misses it skips the whole block loop AND the select phase)."""
+    center, radius = patch_spheres(patches)
+    c = jnp.mean(center, axis=0)
+    r = jnp.max(jnp.linalg.norm(center - c, axis=-1) + radius)
+    return jnp.concatenate([c, r[None]]).astype(jnp.float32)
+
+
+def pack_vote_matrix(neighbours, pad_to: int) -> jnp.ndarray:
+    """[P_pad, 3*P_pad] bf16 follow-vote matrix for the fused kernel's MXU
+    select: entry (q, s*P_pad + p) is 1 iff ``neighbours[p, s] == q``.
+
+    votes = B @ f where f[s*P_pad + p, ray] = (gate-ON what of patch p == s);
+    votes[q, ray] > 0 marks patch q as a follow-side retry target — the same
+    one-hot-matmul reconstruction of the reference's forward retry
+    (reference/bezierMesh.cpp:213-217) as ops.intersect.select_candidates'
+    MXU path, just evaluated inside the kernel on VMEM-resident codes.
+    bf16 one-hots are exact: values 0/1, row sums <= 3, f32 accumulation.
+    """
+    P = neighbours.shape[0]
+    P_pad = P + (-P) % pad_to
+    q_ids = jnp.arange(P_pad, dtype=jnp.int32)[:, None]
+    cols = []
+    for s in range(3):
+        nb = jnp.full((P_pad,), -1, jnp.int32).at[:P].set(
+            neighbours[:, s].astype(jnp.int32)
+        )
+        cols.append((q_ids == nb[None, :]).astype(jnp.bfloat16))
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
+    """Row-major [P_pad, 64] feature table (sublanes = patches, lanes = features)."""
+    P = patches.num_patches
+    center, radius = patch_spheres(patches)
     rows = jnp.concatenate(
         [
             patches.control_points.reshape(P, 30).T,   # 0..29

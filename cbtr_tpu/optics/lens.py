@@ -87,6 +87,12 @@ def trace_through_lens(patches, refractive_index, start, direction,
     (expect outside) — the per-ray state machine of the reference's
     illumination loop (reference/test.cpp:376-394).
 
+    intersect_fn is a *static* jit argument (it is a callable): pass a
+    long-lived function object, not a fresh closure/lambda per call — each
+    new callable identity forces a full retrace and a new compile-cache
+    entry.  Hoist the closure (module level or functools.cache keyed on the
+    mesh/config) before calling in a loop.
+
     Returns (start, direction, alive_mask, entry_point, exit_point).
     """
     s1, d1, st1 = refract_rays(

@@ -79,24 +79,32 @@ def multihost_mesh(axis: str = "rays",
 
 def process_ray_shard(start: np.ndarray, direction: np.ndarray,
                       mesh: Mesh, axis: str = "rays"
-                      ) -> Tuple[jax.Array, jax.Array, int]:
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Assemble globally-sharded ray arrays from per-process slices.
 
     start/direction are the *global* [R,3] ray set (procedurally generated,
     so every process can build it — only its own slice is materialized on
-    device).  Returns (start, direction, padded_R) as global jax.Arrays
-    sharded over `axis`.
+    device).  Returns (start, direction, weight) as global jax.Arrays
+    sharded over `axis`; weight is 1.0 for real rays, 0.0 for the rays added
+    to pad R up to a multiple of the device count.  Callers MUST thread
+    `weight` into the splat/loss (render_lens_image / lens_loss take it
+    directly) — the pad direction (-x, away from every scene) is only a
+    second line of defence, not the guarantee.
     """
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     R = start.shape[0]
     pad = (-R) % n
+    weight = np.ones((R + pad,), np.float32)
     if pad:
-        # padded rays point +x from far -x: they miss everything finite
+        # padded rays head -x from the origin, away from every fixture
+        # (scenes sit at +x); their weight is 0 regardless, so even a ray
+        # that *did* hit something could not touch the image or the loss.
+        weight[R:] = 0.0
         start = np.concatenate(
             [start, np.zeros((pad, 3), start.dtype)], axis=0
         )
         dpad = np.zeros((pad, 3), direction.dtype)
-        dpad[:, 0] = 1.0
+        dpad[:, 0] = -1.0
         direction = np.concatenate([direction, dpad], axis=0)
 
     sharding = NamedSharding(mesh, P(axis))
@@ -104,7 +112,7 @@ def process_ray_shard(start: np.ndarray, direction: np.ndarray,
         return (
             jax.device_put(start, sharding),
             jax.device_put(direction, sharding),
-            R + pad,
+            jax.device_put(weight, sharding),
         )
     # multi-process: each process materializes only its addressable shard
     def to_global(arr):
@@ -113,7 +121,7 @@ def process_ray_shard(start: np.ndarray, direction: np.ndarray,
         local = arr[pid * per:(pid + 1) * per]
         return jax.make_array_from_process_local_data(sharding, local)
 
-    return to_global(start), to_global(direction), R + pad
+    return to_global(start), to_global(direction), to_global(weight)
 
 
 def render_multihost(mesh: Mesh, patches, refractive_index, start, direction,
@@ -129,12 +137,13 @@ def render_multihost(mesh: Mesh, patches, refractive_index, start, direction,
     rep = NamedSharding(mesh, P())
     patches_r = jax.device_put(patches, rep)
     screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
-    s, d, _ = process_ray_shard(
+    s, d, w = process_ray_shard(
         np.asarray(start), np.asarray(direction), mesh, axis
     )
     return render_lens_image(
         patches_r, refractive_index, s, d, screen_r,
         extent=extent, resolution=resolution, chunk_size=chunk_size,
+        weights=w,
     )
 
 
@@ -153,15 +162,18 @@ def make_multihost_train_step(mesh: Mesh, patches, screen_plane, target,
     screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
     target_r = jax.device_put(jnp.asarray(target), rep)
 
-    def loss_fn(params, start, direction):
+    def loss_fn(params, start, direction, weight):
         return lens_loss(
             params, patches_r, start, direction, screen_r, target_r,
             resolution=resolution, extent=extent, chunk_size=chunk_size,
+            ray_weights=weight,
         )
 
     @jax.jit
-    def step(params: LensParams, start, direction):
-        loss, grads = jax.value_and_grad(loss_fn)(params, start, direction)
+    def step(params: LensParams, start, direction, weight):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, start, direction, weight
+        )
         new = LensParams(
             control_points=params.control_points
             - learning_rate * grads.control_points,
@@ -172,9 +184,9 @@ def make_multihost_train_step(mesh: Mesh, patches, screen_plane, target,
 
     def run(params: LensParams, start, direction):
         params = jax.device_put(params, rep)
-        s, d, _ = process_ray_shard(
+        s, d, w = process_ray_shard(
             np.asarray(start), np.asarray(direction), mesh, axis
         )
-        return step(params, s, d)
+        return step(params, s, d, w)
 
     return run

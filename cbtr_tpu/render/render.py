@@ -64,14 +64,20 @@ def splat_bilinear(points2d, weights, extent, resolution: int):
 )
 def render_lens_image(patches, refractive_index, start, direction, screen_plane,
                       extent: float = 4.0, resolution: int = 128,
-                      chunk_size: int = 0):
+                      chunk_size: int = 0, weights=None):
     """Flagship forward model: collimated/emitted rays -> lens entry/exit
-    refraction -> screen splat -> [res, res] irradiance image."""
+    refraction -> screen splat -> [res, res] irradiance image.
+
+    weights: optional per-ray multiplier [...]; 0 removes a ray from the
+    image entirely (used to mask shard-padding rays and to carry emitter
+    importance weights)."""
     out_s, out_d, alive, _, _ = trace_through_lens(
         patches, refractive_index, start, direction, chunk_size=chunk_size
     )
     hit2d, on_screen = screen_hits(out_s, out_d, screen_plane)
     w = (alive & on_screen).astype(jnp.float32)
+    if weights is not None:
+        w = w * weights.astype(jnp.float32)
     # dead rays keep finite positions; weight 0 removes them from the image
     hit2d = jnp.where((alive & on_screen)[..., None], hit2d, 0.0)
     return splat_bilinear(hit2d.reshape(-1, 2), w.reshape(-1), extent, resolution)

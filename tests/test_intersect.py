@@ -214,6 +214,70 @@ def test_dimpled_fixture_exit_hit_found():
     assert float(err) < 1e-6
 
 
+def test_dense_retry_path_matches_production_pipeline(sphere_scene):
+    """`candidates_with_retry` + `select_best` (the dense/debug formulation
+    of the follow-side retry, reference/bezierMesh.cpp:213-217) must produce
+    the SAME RayHit as the production sweep->select->recompute pipeline —
+    they are two implementations of the trickiest semantics in the op."""
+    from cbtr_tpu.ops.intersect import (
+        _intersect_chunk,
+        candidates_with_retry,
+        select_best,
+    )
+
+    # rays engineered to include seam/edge hits (off-axis, varied origins)
+    rng = np.random.default_rng(21)
+    n = 96
+    start = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+    target = CENTER + rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    d = target - start
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    s, d = jnp.asarray(start), jnp.asarray(d.astype(np.float32))
+
+    prod = _intersect_chunk(sphere_scene, s, d, backend="xla")
+    dense = select_best(
+        *candidates_with_retry(sphere_scene, sphere_scene, 0, s, d)
+    )
+
+    np.testing.assert_array_equal(np.asarray(prod.what), np.asarray(dense.what))
+    hit = np.asarray(prod.what) == WHAT_INTERSECT
+    assert hit.sum() >= 48, "fixture too weak"
+    np.testing.assert_array_equal(
+        np.asarray(prod.patch)[hit], np.asarray(dense.patch)[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(prod.distance)[hit], np.asarray(dense.distance)[hit],
+        rtol=1e-6, atol=1e-6,
+    )
+    for a, b in ((prod.point, dense.point), (prod.normal, dense.normal),
+                 (prod.bary, dense.bary)):
+        np.testing.assert_allclose(
+            np.asarray(a)[hit], np.asarray(b)[hit], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_recompute_acceptance_check_zero(sphere_scene):
+    """recompute_winner(with_check=True): on CPU the sweep and the recompute
+    share XLA arithmetic, so no sweep-accepted winner may be rejected by the
+    recompute (weak spot flagged in round 2: the recomputed `what` used to
+    be silently discarded)."""
+    from cbtr_tpu.ops.intersect import (
+        recompute_winner,
+        select_candidates,
+        sweep_codes_xla,
+    )
+
+    start, d = _rays(128, seed=11)
+    s, d = jnp.asarray(start), jnp.asarray(d)
+    code, dist = sweep_codes_xla(sphere_scene, s, d)
+    any_hit, win, _ = select_candidates(code, dist, sphere_scene.neighbours)
+    hit, disagree = recompute_winner(
+        sphere_scene, s, d, any_hit, win, with_check=True
+    )
+    assert int(disagree) == 0
+    assert (np.asarray(hit.what) == WHAT_INTERSECT).sum() >= 100
+
+
 def test_select_formulations_agree(monkeypatch):
     """The MXU-vote (small P) and column-gather (large P) select
     formulations produce identical winners on random data."""

@@ -57,12 +57,51 @@ def test_process_ray_shard_pads_to_device_multiple(scene):
     mesh = multihost_mesh()
     start = np.zeros((13, 3), np.float32)  # 13 % 8 != 0
     direction = np.tile(np.array([1.0, 0, 0], np.float32), (13, 1))
-    s, d, R = process_ray_shard(start, direction, mesh)
-    assert R == 16 and s.shape == (16, 3)
-    # pad rays are valid unit rays (+x from origin) that miss the scene
+    s, d, w = process_ray_shard(start, direction, mesh)
+    assert s.shape == (16, 3) and w.shape == (16,)
+    # pad rays are valid unit rays with weight 0; real rays weight 1
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-6
     )
+    np.testing.assert_array_equal(np.asarray(w), [1.0] * 13 + [0.0] * 3)
+    # second line of defence: pads head -x, away from every +x scene
+    np.testing.assert_array_equal(np.asarray(d)[13:, 0], [-1.0] * 3)
+
+
+def test_render_multihost_unaligned_ray_count_unpolluted(scene):
+    """R % device_count != 0: the padded rays must not splat any weight.
+
+    Regression test for the round-2 advisor finding: pads used to start at
+    the origin heading +x — the exact central beam ray of every scene — and
+    contaminated the image and the training gradient."""
+    mesh = multihost_mesh()
+    start = np.asarray(scene.start)
+    direction = np.asarray(scene.direction)
+    # drop 3 rays so R = 253 % 8 != 0 (ortho grid corner rays: they miss)
+    R = start.shape[0] - 3
+    img = render_multihost(
+        mesh, scene.patches, scene.refractive_index, start[:R],
+        direction[:R], scene.screen_plane, resolution=32,
+    )
+    ref = render_lens_image(
+        scene.patches, scene.refractive_index, jnp.asarray(start[:R]),
+        jnp.asarray(direction[:R]), scene.screen_plane, resolution=32,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-4)
+    # worst-case pads: rays that WOULD hit the lens if traced — zero weight
+    # must still keep the image identical (the mask is the guarantee, the
+    # -x pad direction only a backstop)
+    bad_start = np.concatenate([start[:R], np.zeros((3, 3), np.float32)])
+    bad_dir = np.concatenate(
+        [direction[:R], np.tile(np.array([1.0, 0, 0], np.float32), (3, 1))]
+    )
+    w = np.concatenate([np.ones(R, np.float32), np.zeros(3, np.float32)])
+    masked = render_lens_image(
+        scene.patches, scene.refractive_index, jnp.asarray(bad_start),
+        jnp.asarray(bad_dir), scene.screen_plane, resolution=32,
+        weights=jnp.asarray(w),
+    )
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(ref), atol=1e-4)
 
 
 def test_multihost_train_step_descends(scene):

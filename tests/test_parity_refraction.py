@@ -151,6 +151,72 @@ def test_grazing_passthrough_branch_parity(sphere):
     assert CFG.max_sin2_refraction == 0.99
 
 
+_STRICT_PARITY_SCRIPT = r"""
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# strict upstream semantics: disable the clamp BEFORE any jit trace — the
+# flag is captured at trace time (see cbtr_tpu/config.py).
+from cbtr_tpu.config import DEFAULT as CFG
+object.__setattr__(CFG, "clamp_secant_estimate", False)
+assert CFG.clamp_secant_estimate is False
+
+import jax.numpy as jnp
+from cbtr_tpu.harness.reference_tracer import R_INSIDE, R_NONE, R_OUTSIDE, ReferenceTracer
+from cbtr_tpu.models import sphere_lens_scene
+from cbtr_tpu.optics import REFRACT_INSIDE, REFRACT_OUTSIDE, refract_rays
+
+scene = sphere_lens_scene(res=8, sectors=9, belts=4)
+tracer = ReferenceTracer(scene.patches)
+rng = np.random.default_rng(13)
+n = 16
+d = np.concatenate([np.ones((n, 1)), rng.uniform(-0.12, 0.12, (n, 2))], axis=1).astype(np.float32)
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+s = np.zeros((n, 3), np.float32)
+s[:, 1:] = rng.uniform(-0.25, 0.25, (n, 2)).astype(np.float32)
+
+s1, d1, st1 = refract_rays(scene.patches, scene.refractive_index, jnp.asarray(s), jnp.asarray(d), REFRACT_INSIDE)
+s2, d2, st2 = refract_rays(scene.patches, scene.refractive_index, s1, d1, REFRACT_OUTSIDE)
+matched = 0
+for i in range(n):
+    rs1, rd1, rst1 = tracer.refract(s[i], d[i], scene.refractive_index, R_INSIDE)
+    assert int(st1[i]) == rst1, f"ray {i} pass-1 status {int(st1[i])} vs {rst1}"
+    if rst1 == R_NONE:
+        continue
+    rs2, rd2, rst2 = tracer.refract(rs1, rd1, scene.refractive_index, R_OUTSIDE)
+    assert int(st2[i]) == rst2, f"ray {i} pass-2 status {int(st2[i])} vs {rst2}"
+    if rst2 != R_NONE:
+        np.testing.assert_allclose(np.asarray(s2[i]), rs2, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(d2[i]), rd2, atol=2e-3)
+        matched += 1
+assert matched >= 10, matched
+print("STRICT_PARITY_OK", matched)
+"""
+
+
+def test_strict_unclamped_secant_parity_subprocess():
+    """clamp_secant_estimate=False pins TRUE upstream semantics (the
+    unclamped secant of reference/bezierTriangle.cpp:137-152) — with the
+    flag on by default, the rest of the parity suite validates a deliberate
+    deviation against an oracle applying the same deviation.  Runs in a
+    fresh subprocess because the flag is captured at jit trace time."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _STRICT_PARITY_SCRIPT],
+        capture_output=True, text=True, timeout=560, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "STRICT_PARITY_OK" in proc.stdout
+
+
 def test_two_pass_state_machine_matches_oracle(sphere):
     """Full enter->exit chain (the illumination loop state machine,
     reference/test.cpp:376-394) against the oracle chained the same way."""
