@@ -158,18 +158,62 @@ def main() -> None:
         lambda s, d: intersect_rays(scene.patches, s, d)
     )
     t_full = _timeit(full_jit, max(iters, 3), sb, db)
-    t_recompute = max(t_full - t_sweep - t_select, 0.0)
-    extras["breakdown_ms"] = {
-        "sweep": round(t_sweep * 1e3, 3),
-        "select": round(t_select * 1e3, 3),
-        "recompute_rest": round(t_recompute * 1e3, 3),
+    breakdown = {
+        "sweep_staged": round(t_sweep * 1e3, 3),
+        "select_staged": round(t_select * 1e3, 3),
         "rays": R,
         "patches": P,
     }
+    if _use_pallas():
+        # production path: the FUSED sweep+select kernel (per-pair state
+        # never leaves VMEM; select = in-kernel MXU vote matmul)
+        from cbtr_tpu.ops.pallas_sweep import sweep_select_pallas
+
+        fused_jit = jax.jit(
+            lambda s, d: sweep_select_pallas(scene.patches, s, d)
+        )
+        t_fused = _timeit(fused_jit, max(iters, 3), sb, db)
+        breakdown["fused_sweep_select"] = round(t_fused * 1e3, 3)
+        breakdown["recompute_rest"] = round(max(t_full - t_fused, 0.0) * 1e3, 3)
+    else:
+        breakdown["recompute_rest"] = round(
+            max(t_full - t_sweep - t_select, 0.0) * 1e3, 3
+        )
+    extras["breakdown_ms"] = breakdown
     # the sweep's own flops model (ops/pallas_sweep.py cost_estimate)
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
     extras["sweep_gflops"] = round(flops_pair * R * P / t_sweep / 1e9, 1)
     extras["device"] = jax.devices()[0].device_kind
+
+    # ---- measured VPU roofline -> MFU --------------------------------------
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "benchmarks"))
+    from vpu_peak import measure_vpu_peak
+
+    peak = measure_vpu_peak(timing_iters=3 if smoke else 5)
+    extras["vpu_peak_tflops"] = round(peak / 1e12, 3)
+    # effective MFU = cull-credited model FLOPs / measured sustained peak
+    # (can exceed 1: the cull skips work the model counts); the *executed*
+    # no-cull rate is ~2.0 TFLOP/s (PERF.md roofline section)
+    extras["sweep_mfu_effective"] = round(
+        flops_pair * R * P / t_sweep / peak, 3
+    )
+
+    # ---- recompute acceptance cross-check (weak #6 of round 2) ------------
+    from cbtr_tpu.ops.intersect import recompute_winner
+
+    code4, dist4 = sweep_fn(scene.patches, s4, d4)
+    ah4, win4, _ = select_candidates(code4, dist4, scene.patches.neighbours)
+    _, n_reject = recompute_winner(
+        scene.patches, s4, d4, ah4, win4, with_check=True
+    )
+    extras["recompute_reject_count"] = int(n_reject)
+    assert int(n_reject) <= max(1, sample // 1000), (
+        f"sweep-accepted winners rejected by recompute: {int(n_reject)}"
+    )
 
     # ---- BASELINE configs 2 and 3 (full preset) ----------------------------
     if not smoke:
@@ -210,6 +254,113 @@ def main() -> None:
             "rays": int(se.shape[0]),
             "patches": int(ell.patches.num_patches),
             "rays_per_s": round(se.shape[0] / t_ell, 1),
+        }
+
+        # ---- large-P rows on hardware (round-2 weak #4) --------------------
+        # refined robot (1800 patches -> VMEM-resident non-fused kernel) and
+        # split-4 robot (7200 patches -> the 2D-grid streaming kernel), each
+        # with an on-device Pallas/XLA agreement check at that shape.
+        for label, scn, chunk in (
+            ("robot_refined", robot_lens_scene(res=256, refine=True), 0),
+            ("robot_split4", robot_lens_scene(res=256, split=4), 16384),
+        ):
+            sl = jnp.asarray(scn.start).reshape(-1, 3)
+            dl = jnp.asarray(scn.direction).reshape(-1, 3)
+            big_jit = jax.jit(
+                lambda s, d, _p=scn.patches, _c=chunk: intersect_rays(
+                    _p, s, d, chunk_size=_c
+                )
+            )
+            t_l = _timeit(big_jit, max(iters // 2, 2), sl, dl)
+            row = {
+                "rays": int(sl.shape[0]),
+                "patches": int(scn.patches.num_patches),
+                "intersect_rays_per_s": round(sl.shape[0] / t_l, 1),
+            }
+            if _use_pallas():
+                hp = intersect_rays(scn.patches, sl[:sample], dl[:sample],
+                                    backend="pallas")
+                hx = intersect_rays(scn.patches, sl[:sample], dl[:sample],
+                                    backend="xla")
+                wp, wx = np.asarray(hp.what), np.asarray(hx.what)
+                agree_l = wp == wx
+                bt = agree_l & (wp == 4)
+                d_ok = np.isclose(
+                    np.asarray(hp.distance)[bt], np.asarray(hx.distance)[bt],
+                    rtol=1e-4, atol=1e-4,
+                )
+                row["pallas_xla_agreement"] = round(
+                    float((agree_l.sum() - (~d_ok).sum()) / sample), 5
+                )
+                assert row["pallas_xla_agreement"] >= 0.999, row
+            extras[label] = row
+
+    # ---- ray sorting: measure the claimed coherence win (full preset) ------
+    if not smoke:
+        from cbtr_tpu.render.ray_sort import (
+            coherence_keys,
+            intersect_rays_sorted,
+        )
+        from cbtr_tpu.render.emitters import UniformHemisphere
+        from cbtr_tpu.ops.pallas_sweep import BLOCK_P, TILE_R, patch_spheres
+
+        def _block_skip_rate(s_np, d_np):
+            """Host replay of the kernel's sphere cull: fraction of
+            (128-ray tile x 32-patch block) pairs with zero sphere hits."""
+            c, r = map(np.asarray, patch_spheres(scene.patches))
+            rel = c[None] - s_np[:, None]                    # [R,P,3]
+            t_ca = np.einsum("rpk,rk->rp", rel, d_np)
+            rel2 = np.einsum("rpk,rpk->rp", rel, rel)
+            r2 = r[None] ** 2
+            hit = ((rel2 - t_ca ** 2) <= r2) & ((t_ca >= 0) | (rel2 <= r2))
+            Rr = (hit.shape[0] // TILE_R) * TILE_R
+            Pb = (hit.shape[1] // BLOCK_P) * BLOCK_P
+            tiles = hit[:Rr, :Pb].reshape(
+                Rr // TILE_R, TILE_R, Pb // BLOCK_P, BLOCK_P
+            ).any(axis=(1, 3))
+            return 1.0 - float(tiles.mean())
+
+        rngs = np.random.default_rng(0)
+        s_np = np.asarray(start.reshape(-1, 3)[:R])
+        d_np = np.asarray(direction.reshape(-1, 3)[:R])
+        perm = rngs.permutation(R)
+        s_sh, d_sh = s_np[perm], d_np[perm]  # shuffled ortho grid
+
+        sorted_jit = jax.jit(
+            lambda s, d: intersect_rays_sorted(scene.patches, s, d)
+        )
+        t_shuf = _timeit(full_jit, max(iters, 3), jnp.asarray(s_sh),
+                         jnp.asarray(d_sh))
+        t_shuf_sorted = _timeit(sorted_jit, max(iters, 3), jnp.asarray(s_sh),
+                                jnp.asarray(d_sh))
+        morton_order = np.argsort(
+            np.asarray(coherence_keys(s_sh, d_sh)), kind="stable"
+        )
+
+        em = UniformHemisphere(belts=16, seed=1)
+        d_em, patch_em = em.sample(R)
+        s_em = np.zeros((R, 3), np.float32)
+        order = np.argsort(patch_em, kind="stable")
+        t_em = _timeit(full_jit, max(iters, 3), jnp.asarray(s_em),
+                       jnp.asarray(d_em))
+        t_em_sorted = _timeit(full_jit, max(iters, 3),
+                              jnp.asarray(s_em[order]),
+                              jnp.asarray(d_em[order]))
+        extras["ray_sort"] = {
+            "ortho_ms": round(t_full * 1e3, 3),
+            "shuffled_ms": round(t_shuf * 1e3, 3),
+            "shuffled_sorted_ms": round(t_shuf_sorted * 1e3, 3),
+            "emitter_ms": round(t_em * 1e3, 3),
+            "emitter_sorted_ms": round(t_em_sorted * 1e3, 3),
+            "skip_ortho": round(_block_skip_rate(s_np, d_np), 3),
+            "skip_shuffled": round(_block_skip_rate(s_sh, d_sh), 3),
+            "skip_shuffled_sorted": round(
+                _block_skip_rate(s_sh[morton_order], d_sh[morton_order]), 3
+            ),
+            "skip_emitter": round(_block_skip_rate(s_em, d_em), 3),
+            "skip_emitter_sorted": round(
+                _block_skip_rate(s_em[order], d_em[order]), 3
+            ),
         }
 
     # ---- reference-semantics NumPy baseline (forward only, extrapolated) ----

@@ -24,7 +24,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(pid: int, nproc: int, port: int, out: str, res: int) -> None:
+def worker(pid: int, nproc: int, port: int, out: str, res: int,
+           train: bool) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
 
@@ -33,6 +34,7 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int) -> None:
 
     from cbtr_tpu.parallel.multihost import (
         init_distributed,
+        make_multihost_train_step,
         multihost_mesh,
         render_multihost,
     )
@@ -43,12 +45,37 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int) -> None:
         process_id=pid,
     )
     import numpy as np
+    import jax.numpy as jnp
 
     from cbtr_tpu.models import sphere_lens_scene
+    from cbtr_tpu.models.lens_model import params_from_scene
 
     # identical procedural scene on every process (deterministic preprocessing)
     scene = sphere_lens_scene(res=res, sectors=9, belts=4)
     mesh = multihost_mesh()
+
+    if train:
+        # two SGD steps whose gradient psum crosses the process boundary —
+        # the thing that rides DCN on a real pod (parallel/multihost.py)
+        params = params_from_scene(scene)
+        target = jnp.zeros((32, 32), jnp.float32)
+        step = make_multihost_train_step(
+            mesh, scene.patches, scene.screen_plane, target, resolution=32,
+            learning_rate=1e-4,
+        )
+        p1, loss1 = step(params, scene.start, scene.direction)
+        p2, loss2 = step(p1, scene.start, scene.direction)
+        np.savez(
+            f"{out}.proc{pid}",
+            cp=np.asarray(p2.control_points),
+            n_refr=np.asarray(p2.refractive_index),
+            loss1=float(loss1), loss2=float(loss2),
+            n_processes=jax.process_count(), n_devices=len(jax.devices()),
+        )
+        print(f"proc {pid}/{nproc} train: loss {float(loss1):.8f} -> "
+              f"{float(loss2):.8f}", flush=True)
+        return
+
     img = render_multihost(
         mesh, scene.patches, scene.refractive_index, scene.start,
         scene.direction, scene.screen_plane, resolution=32,
@@ -61,7 +88,7 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int) -> None:
           f"image sum {img.sum():.6f}", flush=True)
 
 
-def launch(nproc: int, out: str, res: int) -> int:
+def launch(nproc: int, out: str, res: int, train: bool) -> int:
     import socket
 
     with socket.socket() as s:  # grab a free port
@@ -71,7 +98,7 @@ def launch(nproc: int, out: str, res: int) -> int:
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(pid),
              "--procs", str(nproc), "--port", str(port), "--out", out,
-             "--res", str(res)],
+             "--res", str(res)] + (["--train"] if train else []),
             cwd=REPO,
         )
         for pid in range(nproc)
@@ -89,14 +116,17 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--out", default="/tmp/cbtr_mp_render")
     ap.add_argument("--res", type=int, default=16)
+    ap.add_argument("--train", action="store_true",
+                    help="run 2 multihost SGD steps instead of a render")
     args = ap.parse_args()
     if args.worker >= 0:
-        worker(args.worker, args.procs, args.port, args.out, args.res)
+        worker(args.worker, args.procs, args.port, args.out, args.res,
+               args.train)
     else:
-        rc = launch(args.procs, args.out, args.res)
+        rc = launch(args.procs, args.out, args.res, args.train)
         if rc:
             sys.exit(rc)
-        print("multiprocess render OK")
+        print("multiprocess", "train" if args.train else "render", "OK")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""BASELINE config 5's deliverable, as far as one chip allows: a 4K render.
+
+"multi-host pod render: 4K image, rays sharded" (the pod-scale
+generalization of the reference's GPU batching plan,
+reference/README.md:159-198).  This environment has ONE real TPU chip and
+no second host, so the artifact is produced in two halves that together
+exercise every piece of the path:
+
+* --tpu: 4096 x 4096 rays (16.8M) through the robot lens on the real chip
+  via parallel.multihost (mesh of 1; the SAME code runs on a pod), rays
+  chunked, landing in a 1024^2 irradiance image.  Writes wall time, rays/s,
+  and an image checksum to RENDER4K_r03.json.  Run twice for a determinism
+  check.
+* --procs 2: the identical sharded-render code across 2 real
+  jax.distributed processes (2 virtual CPU devices each) at a reduced ray
+  grid (CPU sweep throughput caps what is feasible), asserting the
+  replicated image equals the single-process render bit-for-float — the
+  cross-process agreement half.
+
+Usage:
+  python benchmarks/render4k.py --tpu --out RENDER4K_r03.json
+  python benchmarks/render4k.py --procs 2 --res 256
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tpu(out: str, res: int, image_res: int, chunk: int) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from cbtr_tpu.models import robot_lens_scene
+    from cbtr_tpu.parallel.multihost import multihost_mesh, render_multihost
+
+    scene = robot_lens_scene(res=res)
+    mesh = multihost_mesh()
+    n_rays = int(np.asarray(scene.start).shape[0])
+
+    def render():
+        img = render_multihost(
+            mesh, scene.patches, scene.refractive_index, scene.start,
+            scene.direction, scene.screen_plane, resolution=image_res,
+            chunk_size=chunk,
+        )
+        jax.block_until_ready(img)
+        return np.asarray(img)
+
+    img = render()  # compile + warm
+    t0 = time.perf_counter()
+    img2 = render()
+    dt = time.perf_counter() - t0
+    checksum = hashlib.sha256(img.tobytes()).hexdigest()[:16]
+    checksum2 = hashlib.sha256(img2.tobytes()).hexdigest()[:16]
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
+    record = {
+        "metric": f"sharded {res}x{res} robot render -> {image_res}^2 image",
+        "rays": n_rays,
+        "wall_s": round(dt, 3),
+        "rays_per_s": round(n_rays / dt, 1),
+        "image_checksum": checksum,
+        "deterministic": checksum == checksum2,
+        "image_sum": float(img.sum()),
+        "live_ray_weight": float(img.sum()),
+        "device": jax.devices()[0].device_kind,
+        "n_devices": len(jax.devices()),
+    }
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+def run_procs(nproc: int, res: int) -> None:
+    """Cross-process agreement at a CPU-feasible ray grid."""
+    out = "/tmp/cbtr_render4k_mp"
+    for f in (f"{out}.proc{i}.npz" for i in range(nproc)):
+        if os.path.exists(f):
+            os.remove(f)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "benchmarks/multiprocess_render.py"),
+         "--procs", str(nproc), "--out", out, "--res", str(res)],
+        cwd=REPO, env=env,
+    )
+    if rc:
+        sys.exit(rc)
+    import numpy as np
+
+    imgs = []
+    for i in range(nproc):
+        with np.load(f"{out}.proc{i}.npz") as d:
+            imgs.append(d["img"])
+    for i in range(1, nproc):
+        np.testing.assert_array_equal(imgs[0], imgs[i])
+    print(f"{nproc}-process {res}x{res} sharded render: replicated images "
+          f"identical, checksum "
+          f"{hashlib.sha256(imgs[0].tobytes()).hexdigest()[:16]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--procs", type=int, default=0)
+    ap.add_argument("--res", type=int, default=4096)
+    ap.add_argument("--image-res", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=262144)
+    ap.add_argument("--out", default=os.path.join(REPO, "RENDER4K_r03.json"))
+    args = ap.parse_args()
+    if args.tpu:
+        run_tpu(args.out, args.res, args.image_res, args.chunk)
+    if args.procs:
+        run_procs(args.procs, min(args.res, 256))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,10 +86,13 @@ def dimpled_lens_scene(res: int = 128, sectors: int = 21, belts: int = 15,
 
 def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
                      path: Optional[str] = None,
-                     refine: bool = False) -> LensScene:
+                     refine: bool = False, split: int = 0) -> LensScene:
     """The free-form robot.stl fixture as a lens (450 patches; refine=True
     runs one adaptive thick-patch split pass first — the workflow
-    reference/test.cpp:473-494 stops short of)."""
+    reference/test.cpp:473-494 stops short of; split=k uniformly divides
+    every triangle k^2-fold first (Mesh::splitTriangles,
+    reference/mesh.cpp:389-395) — split=4 gives 7200 patches, the
+    large-P streaming-kernel regime)."""
     path = path or "/root/reference/reference/robot.stl"
     mesh = TriMesh().read(path)
     mesh = preprocess(mesh)
@@ -99,6 +102,9 @@ def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
     scale = float(np.abs(mesh.tris).max())
     mesh.scale(1.0 / scale)
     mesh = preprocess(mesh)
+    if split:
+        mesh.split_triangles(split)
+        mesh = preprocess(mesh)
     if refine:
         from ..bezier import split_thick_patches
 

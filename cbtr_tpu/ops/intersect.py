@@ -438,16 +438,19 @@ def _intersect_chunk(patches: BezierPatches, start, direction,
     """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
     if backend == "auto":
         backend = "pallas" if _use_pallas() else "xla"
-    # stage 1: sweep (no gradients — selection is discrete)
+    # stages 1+2: sweep + select (no gradients — selection is discrete)
     sg = jax.lax.stop_gradient
     p_sg, s_sg, d_sg = sg(patches), sg(start), sg(direction)
     if backend == "pallas":
-        from .pallas_sweep import sweep_codes_pallas
+        from . import pallas_sweep as PS
 
-        code, dist = sweep_codes_pallas(p_sg, s_sg, d_sg)
+        if patches.num_patches <= PS._FUSED_MAX_P:
+            # fused kernel: per-pair state never leaves VMEM
+            any_hit, win, _ = PS.sweep_select_pallas(p_sg, s_sg, d_sg)
+            return recompute_winner(patches, start, direction, any_hit, win)
+        code, dist = PS.sweep_codes_pallas(p_sg, s_sg, d_sg)
     else:
         code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
-    # stage 2: select
     any_hit, win, _ = select_candidates(code, dist, p_sg.neighbours)
     # stage 3: differentiable winner recompute
     return recompute_winner(patches, start, direction, any_hit, win)

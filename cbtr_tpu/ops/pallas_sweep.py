@@ -419,6 +419,174 @@ def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
 # table Pp*64*4 B + two [Pp, TILE_R] out blocks (8 B/pair) <= ~4.5 MB
 _RESIDENT_MAX_P = 4096
 
+# largest patch count handled by the FUSED sweep+select kernel: the [P_pad,
+# 3*P_pad] bf16 vote matrix (6 MB at 1024) + [P_pad, TILE_R] code/dist
+# scratch (1 MB) + the patch table must all stay VMEM-resident.
+_FUSED_MAX_P = 1024
+
+_BIG_F = 3.4e38  # miss sentinel (matches ops.intersect._BIG)
+
+
+def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
+                         dist_out_ref, idx_out_ref, code_scr, dist_scr):
+    """FUSED sweep + select: one invocation per 128-ray tile.
+
+    Replaces the materialize-[R,P]-then-select pipeline for P <= _FUSED_MAX_P:
+    per-pair codes/distances live only in VMEM scratch, the follow-side vote
+    is one MXU matmul over those codes, and the kernel emits just the per-ray
+    winner (8 B/ray instead of 8 B/pair to HBM — at the robot bench shape
+    that deletes ~236 MB of HBM round-trip plus the entire 4.2 ms select
+    stage).  Semantics identical to
+    sweep_codes -> ops.intersect.select_candidates (tested for equality):
+    the same candidate multiset as the reference's brute-force scan with one
+    forward retry (reference/bezierMesh.cpp:206-227), min-distance winner,
+    first-index tie-break.
+    """
+    rays = rays_ref[:]                    # [8, TILE_R]
+    sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+
+    dist_out_ref[:] = jnp.full(dist_out_ref.shape, _BIG_F, jnp.float32)
+    idx_out_ref[:] = jnp.zeros(idx_out_ref.shape, jnp.int32)
+
+    # tile-level early exit: whole-mesh bounding sphere vs all 128 rays
+    gcx, gcy, gcz, grad_ = gs_ref[0, 0], gs_ref[0, 1], gs_ref[0, 2], gs_ref[0, 3]
+    relx, rely, relz = gcx - sx, gcy - sy, gcz - sz
+    t_ca = relx * dx + rely * dy + relz * dz
+    rel2 = relx * relx + rely * rely + relz * relz
+    g2 = grad_ * grad_
+    tile_hit = ((rel2 - t_ca * t_ca) <= g2) & ((t_ca >= 0.0) | (rel2 <= g2))
+
+    @pl.when(jnp.any(tile_hit))
+    def _full():
+        code_scr[:] = jnp.full(code_scr.shape, _WHAT_NONE, jnp.int32)
+        dist_scr[:] = jnp.zeros(dist_scr.shape, jnp.float32)
+
+        n_blocks = patch_ref.shape[0] // BLOCK_P
+
+        def body(k, carry):
+            off = k * BLOCK_P
+            pt = patch_ref[pl.ds(off, BLOCK_P), :]
+
+            def row(j):
+                return pt[:, j:j + 1]
+
+            sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
+
+            @pl.when(jnp.any(sphere_hit))
+            def _compute():
+                code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
+                code_scr[pl.ds(off, BLOCK_P), :] = code
+                dist_scr[pl.ds(off, BLOCK_P), :] = dist
+
+            return carry
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        # ---- in-kernel select (ops.intersect.select_candidates semantics) --
+        code = code_scr[:]                # [P_pad, TILE_R]
+        dist = dist_scr[:]
+        what_off = code & 7
+        in_dom = (code >> 3) > 0
+        what_on = jnp.where(in_dom, what_off, _WHAT_NONE)
+        hit_off = what_off == _WHAT_INTERSECT
+        direct = what_on == _WHAT_INTERSECT
+
+        f = jnp.concatenate(
+            [(what_on == s).astype(jnp.bfloat16) for s in range(3)], axis=0
+        )                                  # [3*P_pad, TILE_R]
+        votes = jnp.dot(
+            vote_ref[:], f, preferred_element_type=jnp.float32
+        )                                  # [P_pad, TILE_R]
+        considered = direct | ((votes > 0.0) & hit_off)
+        key = jnp.where(considered, dist, _BIG_F)
+        best = jnp.min(key, axis=0, keepdims=True)          # [1, TILE_R]
+        rows = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        idx = jnp.min(
+            jnp.where(key == best, rows, jnp.int32(2 ** 30)),
+            axis=0, keepdims=True,
+        )
+        dist_out_ref[:] = jnp.broadcast_to(best, dist_out_ref.shape)
+        idx_out_ref[:] = jnp.broadcast_to(idx, idx_out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sweep_select_call(rays, patch_t, votes, gsphere, interpret: bool):
+    Rp = rays.shape[1]
+    Pp = patch_t.shape[0]
+    flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
+    cost = pl.CostEstimate(
+        flops=(flops_pair + 6) * Rp * Pp,
+        bytes_accessed=16 * Rp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
+        transcendentals=10 * Rp * Pp,
+    )
+    return pl.pallas_call(
+        _sweep_select_kernel,
+        grid=(Rp // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, _N_ROWS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 3 * Pp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Pp, TILE_R), jnp.int32),
+            pltpu.VMEM((Pp, TILE_R), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(rays, patch_t, votes, gsphere)
+
+
+def sweep_select_pallas(patches: BezierPatches, start, direction,
+                        interpret: bool | None = None):
+    """Fused sweep+select: (any_hit [R] bool, win [R] i32, win_dist [R] f32)
+    — the winner of reference/bezierMesh.cpp:206-227's scan+retry without
+    ever materializing per-pair state in HBM.  P must be <= _FUSED_MAX_P."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            interpret = True
+    R = start.shape[0]
+    P = patches.num_patches
+    pad_r = (-R) % TILE_R
+    rays = jnp.concatenate(
+        [
+            start.astype(jnp.float32),
+            direction.astype(jnp.float32),
+            jnp.zeros((R, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
+    rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
+    # pad P to a multiple of 128 so the vote matmul's contraction dim tiles
+    # cleanly onto the MXU (and BLOCK_P=32 divides it)
+    patch_t = pack_patch_table(patches, 128)
+    votes = pack_vote_matrix(patches.neighbours, 128)
+    gsphere = mesh_sphere(patches)[None, :]  # [1,4] SMEM scalars
+    dist8, idx8 = _sweep_select_call(
+        rays.T, patch_t, votes, gsphere, bool(interpret)
+    )
+    best = dist8[0, :R]
+    win = idx8[0, :R]
+    return best < (_BIG_F * 0.5), win, best
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sweep_call(rays, patch_t, interpret: bool):

@@ -10,8 +10,15 @@ TPU-native generalization: `jax.distributed` process groups + a global
 * **the BezierPatches SoA replicated** (tens of KB/mesh);
 * **gradient all-reduce inserted by XLA**: parameters replicated + batch
   sharded means the backward pass psums control-point / refractive-index
-  grads over ICI within a slice and DCN across hosts, overlapped with the
-  backward schedule by the XLA latency-hiding scheduler.
+  grads over ICI within a slice and DCN across hosts.  VERIFIED here (HLO
+  inspection, tests/test_multihost.py::test_gradient_allreduce_in_backward):
+  the compiled train step contains exactly the expected all-reduces over all
+  devices, placed inside the backward computation.  On real TPU pods XLA's
+  latency-hiding scheduler can additionally overlap those collectives with
+  remaining backward compute (async all-reduce-start/done pairs) — that
+  schedule-level overlap is a TPU-backend property this single-chip
+  environment cannot demonstrate, so we claim insertion + placement, not
+  measured overlap.
 
 Single-process (1 host, N devices) and multi-process (N hosts) run the same
 code: the mesh is built from `jax.devices()` (global across processes) and

@@ -120,6 +120,105 @@ def test_multihost_train_step_descends(scene):
     assert np.isfinite(np.asarray(p2.control_points)).all()
 
 
+def test_gradient_allreduce_in_backward(scene):
+    """HLO-level verification of the multihost module's collective claim:
+    the compiled SPMD train step must contain all-reduce ops spanning all 8
+    devices (the gradient psum XLA inserts for replicated params x sharded
+    rays).  Overlap with backward compute is a TPU latency-hiding-scheduler
+    property we cannot demonstrate single-chip — the docstring claims
+    insertion + placement only (parallel/multihost.py)."""
+    from cbtr_tpu.parallel.multihost import process_ray_shard
+    from cbtr_tpu.models.lens_model import LensParams, lens_loss
+
+    mesh = multihost_mesh()
+    params = params_from_scene(scene)
+    target = jnp.zeros((32, 32), jnp.float32)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    patches_r = jax.device_put(scene.patches, rep)
+    screen_r = jax.device_put(jnp.asarray(scene.screen_plane), rep)
+
+    def loss_fn(p, s, d, w):
+        return lens_loss(p, patches_r, s, d, screen_r, target,
+                         resolution=32, ray_weights=w)
+
+    def step(p, s, d, w):
+        loss, grads = jax.value_and_grad(loss_fn)(p, s, d, w)
+        return grads, loss
+
+    s, d, w = process_ray_shard(
+        np.asarray(scene.start), np.asarray(scene.direction), mesh
+    )
+    params = jax.device_put(params, rep)
+    compiled = jax.jit(step).lower(params, s, d, w).compile()
+    hlo = compiled.as_text()
+    n_allreduce = hlo.count(" all-reduce(")
+    assert n_allreduce >= 1, "no gradient all-reduce in the compiled step"
+    # the collective spans all 8 devices: iota replica groups [1,8]<=[8]
+    # (one group containing every device)
+    assert "replica_groups=[1,8]<=[8]" in hlo or (
+        "0,1,2,3,4,5,6,7" in hlo.replace(" ", "")
+    ), "all-reduce does not span the full device mesh"
+    # and it reduces the control-point gradient inside the backward: the
+    # [P,10,3] operand produced by the transposed (jvp -> transpose) render
+    import re
+
+    cp_shape = f"f32[{scene.patches.num_patches},10,3]"
+    ar_lines = [l for l in hlo.splitlines() if " all-reduce(" in l]
+    assert any(
+        cp_shape in l and "transpose(jvp" in l for l in ar_lines
+    ), f"no {cp_shape} gradient all-reduce in the backward:\n" + "\n".join(
+        l[:160] for l in ar_lines
+    )
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    """make_multihost_train_step across 2 real jax.distributed processes —
+    the gradient psum crosses the process boundary (the DCN hop on a real
+    pod).  Both processes must hold identical post-step params, and those
+    must match the single-process step on this test's own 8-device mesh."""
+    out = str(tmp_path / "mpt")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/multiprocess_render.py"),
+         "--procs", "2", "--out", out, "--res", "16", "--train"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    files = sorted(glob.glob(out + ".proc*.npz"))
+    assert len(files) == 2
+    runs = []
+    for f in files:
+        with np.load(f) as data:
+            assert int(data["n_processes"]) == 2
+            runs.append(
+                (data["cp"], data["n_refr"], float(data["loss1"]),
+                 float(data["loss2"]))
+            )
+    # cross-process: bit-identical replicated params and losses
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    assert runs[0][2] == runs[1][2] and runs[0][3] == runs[1][3]
+    assert runs[0][3] < runs[0][2], "loss must descend"
+
+    # single-process reference (8-device mesh here vs 2x2 there: psum order
+    # differs, so allclose not array_equal)
+    scene = sphere_lens_scene(res=16, sectors=9, belts=4)
+    params = params_from_scene(scene)
+    step = make_multihost_train_step(
+        multihost_mesh(), scene.patches, scene.screen_plane,
+        jnp.zeros((32, 32), jnp.float32), resolution=32, learning_rate=1e-4,
+    )
+    p1, loss1 = step(params, scene.start, scene.direction)
+    p2, loss2 = step(p1, scene.start, scene.direction)
+    assert float(loss1) == pytest.approx(runs[0][2], rel=1e-5)
+    assert float(loss2) == pytest.approx(runs[0][3], rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p2.control_points), runs[0][0], rtol=1e-5, atol=1e-7
+    )
+
+
 @pytest.mark.slow
 def test_two_process_distributed_render(tmp_path):
     """Two real jax.distributed processes (4 global devices) agree with the

@@ -82,6 +82,52 @@ def test_end_to_end_backends_agree(scene):
     )
 
 
+def test_fused_select_matches_staged_pipeline(scene, rays):
+    """The fused sweep+select kernel must return EXACTLY the winner the
+    staged pipeline (Pallas sweep codes -> ops.intersect.select_candidates)
+    computes — same any_hit, same patch, same distance (identical float
+    path: the select math is deterministic on identical codes)."""
+    from cbtr_tpu.ops.intersect import select_candidates
+    from cbtr_tpu.ops.pallas_sweep import sweep_select_pallas
+
+    start, d = rays
+    code, dist = sweep_codes_pallas(scene, start, d, interpret=True)
+    any_a, win_a, key_a = select_candidates(code, dist, scene.neighbours)
+    any_b, win_b, key_b = sweep_select_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
+    hit = np.asarray(any_a)
+    assert hit.sum() >= 16, "fixture too weak"
+    np.testing.assert_array_equal(
+        np.asarray(win_a)[hit], np.asarray(win_b)[hit]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(key_a)[hit], np.asarray(key_b)[hit]
+    )
+
+
+def test_fused_select_pad_and_miss_rays(scene):
+    """Unaligned ray counts (padding lanes) and all-miss tiles (the
+    whole-mesh-sphere early exit) stay correct in the fused kernel."""
+    from cbtr_tpu.ops.pallas_sweep import sweep_select_pallas
+
+    rng = np.random.default_rng(5)
+    n = 67  # pads to 128
+    start = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    start[:, 0] -= 3.0
+    d = np.tile(np.array([-1.0, 0.0, 0.0], np.float32), (n, 1))
+    d[:32] = rng.normal(size=(32, 3)).astype(np.float32)
+    t = rng.normal(size=(32, 3)).astype(np.float32) * 0.4 - start[:32]
+    d[:32] = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    any_hit, win, key = sweep_select_pallas(
+        scene, jnp.asarray(start), jnp.asarray(d), interpret=True
+    )
+    assert any_hit.shape == (n,)
+    a = np.asarray(any_hit)
+    assert a[:32].sum() >= 16          # aimed rays hit
+    assert not a[32:].any()            # -x rays all miss (early-exit tiles)
+    assert (np.asarray(win)[a] < scene.num_patches).all()
+
+
 def test_resident_and_2d_grid_kernels_agree(scene, rays, monkeypatch):
     """The VMEM-resident 1D-grid kernel (small P) and the streaming 2D-grid
     kernel (large P) compute identical codes/distances."""
