@@ -21,9 +21,10 @@ from ..config import DEFAULT as CFG
 from .patches import BezierPatches, interpolate, interpolate_linear
 
 # emitted-triangle count per split bitmask = popcount+1, matching the
-# reference's csSplitCount table {1,2,2,3,2,3,3,4} (reference/bezierMesh.cpp:82)
-_INDEX_FOR_2_ON_SIDE = {1: 0, 2: 1, 4: 2}
-_INDEX_FOR_1_ON_SIDE = {3: 2, 5: 1, 6: 0}
+# reference's csSplitCount table {1,2,2,3,2,3,3,4} (reference/bezierMesh.cpp:82).
+# The side-index maps {1:0, 2:1, 4:2} (one split side) and {3:2, 5:1, 6:0}
+# (two split sides -> the UNsplit side) live as array lookups in
+# _emit_2split/_emit_3split; 9 marks impossible codes.
 
 
 def _blended_midpoints(patches: BezierPatches) -> np.ndarray:
@@ -72,56 +73,83 @@ def split_thick_patches(patches: BezierPatches, fellow, fellow_starts):
         + np.linalg.norm(corners[:, 2] - corners[:, 0], axis=-1)
     )
 
+    # side-split propagation (reference/bezierMesh.cpp:97-106).  Fully
+    # vectorized: final state is order-independent (thick faces end at 7
+    # regardless of OR arrival order; 7 | anything == 7), so scatter-OR the
+    # neighbour bits, then pin thick faces to 7.
     split_sides = np.zeros(F, np.uint8)
     thick = heights / perim > CFG.bezier_height_per_perimeter_limit
-    for f in np.nonzero(thick)[0]:
-        split_sides[f] = 7
-        for side in range(3):
-            split_sides[fellow[f, side]] |= 1 << int(fellow_starts[f, side])
+    tf = np.nonzero(thick)[0]
+    np.bitwise_or.at(
+        split_sides,
+        fellow[tf].ravel(),
+        (np.uint8(1) << fellow_starts[tf].astype(np.uint8)).ravel(),
+    )
+    split_sides[tf] = 7
 
-    out = []
-    for f in range(F):
-        tri = corners[f]
-        split = int(split_sides[f])
-        n = bin(split).count("1") + 1
-        if n == 1:
-            out.append(tri)
-        elif n == 2:
-            _append_2split(out, tri, mids[f], split)
-        elif n == 3:
-            _append_3split(out, tri, mids[f], split)
-        else:
-            _append_4split(out, tri, mids[f])
-    return np.stack(out).astype(np.float32), int(thick.sum())
+    # vectorized emission, exact face order preserved via per-face offsets
+    # (csSplitCount = popcount+1, reference/bezierMesh.cpp:82)
+    pop = np.unpackbits(split_sides[:, None], axis=1).sum(axis=1)
+    counts = pop.astype(np.int64) + 1
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = np.empty((offsets[-1], 3, 3), np.float32)
+
+    o1 = offsets[:-1][counts == 1]
+    out[o1] = corners[counts == 1]
+
+    f2 = np.nonzero(counts == 2)[0]
+    if f2.size:
+        _emit_2split(out, offsets[f2], corners[f2], mids[f2], split_sides[f2])
+    f3 = np.nonzero(counts == 3)[0]
+    if f3.size:
+        _emit_3split(out, offsets[f3], corners[f3], mids[f3], split_sides[f3])
+    f4 = np.nonzero(counts == 4)[0]
+    if f4.size:
+        _emit_4split(out, offsets[f4], corners[f4], mids[f4])
+    return out, int(thick.sum())
 
 
-def _append_2split(out, tri, mids, split):
+def _rows(tri, idx):
+    """tri [G,3,3], idx [G] -> tri[g, idx[g]] for every g."""
+    return tri[np.arange(tri.shape[0]), idx]
+
+
+def _emit_2split(out, o, tri, mids, split):
     """One side split -> 2 triangles (reference/bezierMesh.cpp:144-152)."""
-    i2 = _INDEX_FOR_2_ON_SIDE[split]
-    sv = mids[i2]
+    i2 = np.array([9, 0, 1, 9, 2], np.int64)[split]  # {1:0, 2:1, 4:2}
+    sv = _rows(mids, i2)
     a, b = (i2 + 1) % 3, (i2 + 2) % 3
-    out.append(np.stack([tri[a], tri[b], sv]))
-    out.append(np.stack([tri[b], tri[i2], sv]))
+    out[o] = np.stack([_rows(tri, a), _rows(tri, b), sv], axis=1)
+    out[o + 1] = np.stack([_rows(tri, b), _rows(tri, i2), sv], axis=1)
 
 
-def _append_3split(out, tri, mids, split):
-    """Two sides split -> 3 triangles, shorter-diagonal choice
+def _emit_3split(out, o, tri, mids, split):
+    """Two sides split -> 3 triangles, shorter-diagonal choice per face
     (reference/bezierMesh.cpp:162-178)."""
-    i1 = _INDEX_FOR_1_ON_SIDE[split]
+    i1 = np.array([9, 9, 9, 2, 9, 1, 0], np.int64)[split]  # {3:2, 5:1, 6:0}
     after, before = (i1 + 1) % 3, (i1 + 2) % 3
-    sv_before = mids[before]
-    sv_after = mids[after]
-    out.append(np.stack([tri[before], sv_before, sv_after]))
-    if np.linalg.norm(tri[after] - sv_before) < np.linalg.norm(tri[i1] - sv_after):
-        out.append(np.stack([tri[after], sv_after, sv_before]))
-        out.append(np.stack([tri[i1], tri[after], sv_before]))
-    else:
-        out.append(np.stack([tri[after], sv_after, tri[i1]]))
-        out.append(np.stack([tri[i1], sv_after, sv_before]))
+    t_a, t_b, t_1 = _rows(tri, after), _rows(tri, before), _rows(tri, i1)
+    sv_b, sv_a = _rows(mids, before), _rows(mids, after)
+    out[o] = np.stack([t_b, sv_b, sv_a], axis=1)
+    shorter = (
+        np.linalg.norm(t_a - sv_b, axis=-1) < np.linalg.norm(t_1 - sv_a, axis=-1)
+    )[:, None, None]
+    out[o + 1] = np.where(
+        shorter,
+        np.stack([t_a, sv_a, sv_b], axis=1),
+        np.stack([t_a, sv_a, t_1], axis=1),
+    )
+    out[o + 2] = np.where(
+        shorter,
+        np.stack([t_1, t_a, sv_b], axis=1),
+        np.stack([t_1, sv_a, sv_b], axis=1),
+    )
 
 
-def _append_4split(out, tri, mids):
+def _emit_4split(out, o, tri, mids):
     """All sides split -> 4 triangles (reference/bezierMesh.cpp:189-198)."""
-    out.append(mids.copy())
+    out[o] = mids
     for i in range(3):
-        out.append(np.stack([tri[i], mids[i], mids[(i + 2) % 3]]))
+        out[o + 1 + i] = np.stack(
+            [tri[:, i], mids[:, i], mids[:, (i + 2) % 3]], axis=1
+        )

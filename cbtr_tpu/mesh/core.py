@@ -301,13 +301,26 @@ class TriMesh:
         return self
 
     def split_triangles_max_side(self, max_side: float) -> None:
-        """Per-triangle divisor = ceil(longest side / max_side) (mesh.cpp:375-385)."""
-        out = []
+        """Per-triangle divisor = ceil(longest side / max_side)
+        (mesh.cpp:375-385).  Vectorized by divisor value (few distinct
+        divisors in practice); exact per-face emission order preserved via
+        offsets, so results are identical to the per-face loop."""
         sides = np.linalg.norm(self.tris - np.roll(self.tris, -1, axis=1), axis=-1)
-        divisors = np.ceil(sides.max(axis=1) / max_side).astype(int)
-        for tri, d in zip(self.tris, divisors):
-            out.append(geom.divide_triangle_np(tri, max(int(d), 1)))
-        self.tris = np.concatenate(out, axis=0)
+        divisors = np.maximum(
+            np.ceil(sides.max(axis=1) / max_side).astype(np.int64), 1
+        )
+        counts = divisors ** 2
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        out = np.empty((offsets[-1], 3, 3), np.float32)
+        for d in np.unique(divisors):
+            faces = np.nonzero(divisors == d)[0]
+            bary = geom.subdivision_barycentrics(int(d))  # [d^2,3,3]
+            tris = np.einsum(
+                "tcb,fbx->ftcx", bary, self.tris[faces]
+            ).astype(np.float32)
+            idx = (offsets[faces][:, None] + np.arange(d * d)[None, :]).ravel()
+            out[idx] = tris.reshape(-1, 3, 3)
+        self.tris = out
 
     def split_triangles(self, divisor: int) -> None:
         """Uniform subdivision of every triangle (mesh.cpp:389-395)."""

@@ -148,3 +148,102 @@ def test_patches_row_gather(sphere_patches):
     np.testing.assert_allclose(
         np.asarray(sub.control_points[0]), np.asarray(patches.control_points[3])
     )
+
+
+def test_vectorized_refine_emission_matches_scalar_oracle():
+    """The vectorized split_thick_patches emission (round 3: the per-face
+    Python loop was O(F) interpreter-bound at refined-mesh scale) must
+    reproduce the scalar reference loop bit-for-bit, including triangle
+    order (reference/bezierMesh.cpp:144-198 semantics)."""
+    import numpy as np
+    from cbtr_tpu.bezier.refine import (
+        _blended_midpoints,
+        _face_heights,
+        split_thick_patches,
+    )
+    from cbtr_tpu.config import DEFAULT as CFG
+    from cbtr_tpu.harness import preprocess
+    from cbtr_tpu.mesh.core import TriMesh
+    from cbtr_tpu.mesh.stl_io import read_stl
+    from cbtr_tpu.bezier import build_from_trimesh
+
+    mesh = preprocess(TriMesh(read_stl("/root/reference/reference/robot.stl")))
+    patches = build_from_trimesh(mesh)
+    fellow = np.asarray(mesh.fellow_triangles)
+    fellow_starts = np.asarray(mesh.fellow_common_side_starts)
+
+    got, n_thick = split_thick_patches(patches, fellow, fellow_starts)
+    assert n_thick > 0
+
+    # scalar oracle: the pre-vectorization per-face loop, verbatim
+    F = fellow.shape[0]
+    heights = _face_heights(patches)
+    mids = _blended_midpoints(patches).reshape(F, 3, 3)
+    corners = np.asarray(patches.control_points[:, 0, :], np.float32).reshape(
+        F, 3, 3
+    )
+    perim = sum(
+        np.linalg.norm(corners[:, i] - corners[:, (i + 1) % 3], axis=-1)
+        for i in range(3)
+    )
+    split_sides = np.zeros(F, np.uint8)
+    thick = heights / perim > CFG.bezier_height_per_perimeter_limit
+    for f in np.nonzero(thick)[0]:
+        split_sides[f] = 7
+        for side in range(3):
+            split_sides[fellow[f, side]] |= 1 << int(fellow_starts[f, side])
+    i2map = {1: 0, 2: 1, 4: 2}
+    i1map = {3: 2, 5: 1, 6: 0}
+    out = []
+    for f in range(F):
+        tri, m, split = corners[f], mids[f], int(split_sides[f])
+        n = bin(split).count("1") + 1
+        if n == 1:
+            out.append(tri)
+        elif n == 2:
+            i2 = i2map[split]
+            sv = m[i2]
+            a, b = (i2 + 1) % 3, (i2 + 2) % 3
+            out += [np.stack([tri[a], tri[b], sv]),
+                    np.stack([tri[b], tri[i2], sv])]
+        elif n == 3:
+            i1 = i1map[split]
+            after, before = (i1 + 1) % 3, (i1 + 2) % 3
+            sv_b, sv_a = m[before], m[after]
+            out.append(np.stack([tri[before], sv_b, sv_a]))
+            if np.linalg.norm(tri[after] - sv_b) < np.linalg.norm(
+                tri[i1] - sv_a
+            ):
+                out += [np.stack([tri[after], sv_a, sv_b]),
+                        np.stack([tri[i1], tri[after], sv_b])]
+            else:
+                out += [np.stack([tri[after], sv_a, tri[i1]]),
+                        np.stack([tri[i1], sv_a, sv_b])]
+        else:
+            out.append(m.copy())
+            for i in range(3):
+                out.append(np.stack([tri[i], m[i], m[(i + 2) % 3]]))
+    expect = np.stack(out).astype(np.float32)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_vectorized_max_side_split_matches_scalar_oracle():
+    """split_triangles_max_side: grouped-by-divisor einsum vs the per-face
+    divide loop — identical triangles in identical order."""
+    import numpy as np
+    from cbtr_tpu import geom
+    from cbtr_tpu.mesh.core import TriMesh, make_ellipsoid
+
+    mesh = make_ellipsoid(9, 4, (1.0, 4.0, 2.0))
+    tris0 = mesh.tris.copy()
+    mesh.split_triangles_max_side(0.7)
+
+    sides = np.linalg.norm(tris0 - np.roll(tris0, -1, axis=1), axis=-1)
+    divisors = np.ceil(sides.max(axis=1) / 0.7).astype(int)
+    assert len(np.unique(divisors)) > 1, "fixture too uniform to test grouping"
+    out = [
+        geom.divide_triangle_np(tri, max(int(d), 1))
+        for tri, d in zip(tris0, divisors)
+    ]
+    expect = np.concatenate(out, axis=0).astype(np.float32)
+    np.testing.assert_array_equal(mesh.tris, expect)
