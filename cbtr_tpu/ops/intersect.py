@@ -322,7 +322,15 @@ def recompute_winner(patches: BezierPatches, start, direction, any_hit, win,
     ship a rejected candidate's fields.  bench.py reports and bounds it;
     tests assert it is 0 on CPU where both stages share XLA arithmetic.
     """
-    rows = patches.row(jnp.maximum(win, 0))
+    # ONE [R, 60] gather from the packed float table instead of six per-leaf
+    # gathers (and one backward scatter instead of six): 5.0 -> 0.7 ms fwd,
+    # 21.8 -> 4.8 ms with grad at the bench shape (see packed_f32).  The
+    # recompute never reads neighbours, so the row-struct carries zeros there.
+    idx = jnp.maximum(win, 0)
+    rows = BezierPatches.from_packed_f32(
+        jnp.take(patches.packed_f32(), idx, axis=0),
+        jnp.zeros(idx.shape + (3,), jnp.int32),
+    )
     what_w, dist_w, pt, n, b, cos_w = patch_candidates(rows, start, direction, False)
     hit = RayHit(
         what=jnp.where(any_hit, WHAT_INTERSECT, WHAT_NONE).astype(jnp.int32),

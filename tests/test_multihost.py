@@ -87,7 +87,13 @@ def test_render_multihost_unaligned_ray_count_unpolluted(scene):
         scene.patches, scene.refractive_index, jnp.asarray(start[:R]),
         jnp.asarray(direction[:R]), scene.screen_plane, resolution=32,
     )
-    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-4)
+    # atol: a polluting pad ray adds ~1.0 of splat weight; jit-fusion
+    # rounding between the sharded and single-device programs moves
+    # boundary-ray bilinear weights by <~1e-3 (Newton chaos amplification)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-3)
+    np.testing.assert_allclose(
+        float(jnp.sum(img)), float(jnp.sum(ref)), rtol=1e-4
+    )
     # worst-case pads: rays that WOULD hit the lens if traced — zero weight
     # must still keep the image identical (the mask is the guarantee, the
     # -x pad direction only a backstop)
@@ -101,7 +107,12 @@ def test_render_multihost_unaligned_ray_count_unpolluted(scene):
         jnp.asarray(bad_dir), scene.screen_plane, resolution=32,
         weights=jnp.asarray(w),
     )
-    np.testing.assert_allclose(np.asarray(masked), np.asarray(ref), atol=1e-4)
+    # same 2e-3 rounding allowance: appending the 3 pad rays changes the
+    # batch shape, hence the fused program, hence boundary-ray rounding
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(ref), atol=2e-3)
+    np.testing.assert_allclose(
+        float(jnp.sum(masked)), float(jnp.sum(ref)), rtol=1e-4
+    )
 
 
 def test_multihost_train_step_descends(scene):
@@ -162,11 +173,17 @@ def test_gradient_allreduce_in_backward(scene):
     # [P,10,3] operand produced by the transposed (jvp -> transpose) render
     import re
 
-    cp_shape = f"f32[{scene.patches.num_patches},10,3]"
+    # [P,10,3] if the recompute gathers per-leaf; [P,60] since the packed-
+    # table single-gather (bezier/patches.py packed_f32) — whose backward
+    # scatter-add produces the packed control-table gradient, all-reduced
+    # (fused with the refractive-index scalar grads) in one collective
+    P = scene.patches.num_patches
+    cp_shapes = (f"f32[{P},10,3]", f"f32[{P},60]")
     ar_lines = [l for l in hlo.splitlines() if " all-reduce(" in l]
     assert any(
-        cp_shape in l and "transpose(jvp" in l for l in ar_lines
-    ), f"no {cp_shape} gradient all-reduce in the backward:\n" + "\n".join(
+        any(cs in l for cs in cp_shapes) and "transpose(jvp" in l
+        for l in ar_lines
+    ), f"no {cp_shapes} gradient all-reduce in the backward:\n" + "\n".join(
         l[:160] for l in ar_lines
     )
 
