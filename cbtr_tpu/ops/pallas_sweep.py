@@ -105,9 +105,10 @@ def _sweep_kernel(rays_ref, patch_ref, code_ref, dist_ref):
         dist_ref[:] = dist
 
 
-def _sweep_kernel_resident(rays_ref, patch_ref, code_ref, dist_ref):
+def _sweep_kernel_resident(counts_ref, lists_ref, rays_ref, patch_ref,
+                           code_ref, dist_ref):
     """1D-grid kernel: one invocation per 128-ray tile with the ENTIRE patch
-    table VMEM-resident; 8-patch blocks stream through an in-kernel loop
+    table VMEM-resident; 32-patch blocks stream through an in-kernel loop
     behind the sphere cull.
 
     Why: the 2D grid pays grid-sequencing + DMA overhead per tile whether or
@@ -117,8 +118,12 @@ def _sweep_kernel_resident(rays_ref, patch_ref, code_ref, dist_ref):
     24.6 ms no-cull run).  In-kernel blocks make a skipped block cost just
     the sphere test + a scalar branch; with the measured BLOCK_P=32 optimum
     the same shape runs in 8.3 ms (4.1 ms loop floor + 4.2 ms surviving
-    Newton work).
+    Newton work).  The scalar-prefetched counts/lists (tile_block_lists)
+    then delete the floor for merged-sphere-skippable blocks entirely: the
+    loop visits only this tile's candidate blocks.
     """
+    i = pl.program_id(0)
+    nb = counts_ref[i]
     rays = rays_ref[:]                    # [8, TILE_R]
     sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
@@ -126,10 +131,8 @@ def _sweep_kernel_resident(rays_ref, patch_ref, code_ref, dist_ref):
     code_ref[:] = jnp.full(code_ref.shape, _WHAT_NONE, jnp.int32)
     dist_ref[:] = jnp.zeros(dist_ref.shape, jnp.float32)
 
-    n_blocks = patch_ref.shape[0] // BLOCK_P
-
     def body(k, carry):
-        off = k * BLOCK_P
+        off = lists_ref[i, k] * BLOCK_P
         pt = patch_ref[pl.ds(off, BLOCK_P), :]   # [BLOCK_P, 64]
 
         def row(j):
@@ -145,7 +148,7 @@ def _sweep_kernel_resident(rays_ref, patch_ref, code_ref, dist_ref):
 
         return carry
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
 def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
@@ -360,14 +363,58 @@ def patch_spheres(patches: BezierPatches):
     return center, radius
 
 
-def mesh_sphere(patches: BezierPatches) -> jnp.ndarray:
-    """Whole-mesh bounding sphere [4] = (cx, cy, cz, r) enclosing every patch
-    sphere — the tile-level early-exit gate (a 128-ray tile whose every ray
-    misses it skips the whole block loop AND the select phase)."""
+def block_spheres(patches: BezierPatches, pad_to: int):
+    """Merged bounding sphere per BLOCK_P-patch block of the padded table:
+    (center [B,3], radius [B]) with radius < 0 for all-padding blocks.
+
+    These drive the host-side candidate-block lists of the fused kernel: a
+    block can only intersect a ray tile if its merged sphere does, so blocks
+    whose sphere misses all 128 rays of a tile are dropped from that tile's
+    in-kernel loop entirely (they previously still paid the loop-trip +
+    per-patch sphere test + branch 'floor', measured 4.1 ms/call at the
+    bench shape)."""
     center, radius = patch_spheres(patches)
-    c = jnp.mean(center, axis=0)
-    r = jnp.max(jnp.linalg.norm(center - c, axis=-1) + radius)
-    return jnp.concatenate([c, r[None]]).astype(jnp.float32)
+    P = patches.num_patches
+    P_pad = P + (-P) % pad_to
+    n_real = jnp.minimum(
+        jnp.maximum(P - jnp.arange(0, P_pad, BLOCK_P), 0), BLOCK_P
+    )  # real patches per block [B]
+    pad_n = P_pad - P
+    center = jnp.pad(center, ((0, pad_n), (0, 0)))
+    radius = jnp.pad(radius, ((0, pad_n),))
+    cb = center.reshape(-1, BLOCK_P, 3)
+    rb = radius.reshape(-1, BLOCK_P)
+    real = (
+        jnp.arange(BLOCK_P)[None, :] < n_real[:, None]
+    )  # [B, BLOCK_P]
+    denom = jnp.maximum(n_real, 1).astype(jnp.float32)
+    c = jnp.sum(jnp.where(real[..., None], cb, 0.0), axis=1) / denom[:, None]
+    reach = jnp.linalg.norm(cb - c[:, None, :], axis=-1) + rb
+    r = jnp.max(jnp.where(real, reach, -1.0), axis=1)
+    return c, r
+
+
+def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
+    """Per-128-ray-tile candidate block lists for the fused kernel.
+
+    rays [8, R_pad] (the kernel's transposed layout).  Returns
+    (counts [T] i32, lists [T, B] i32): lists[t, :counts[t]] are the ids of
+    blocks whose merged sphere is hit by at least one ray of tile t,
+    ascending (so winners keep the staged pipeline's first-index
+    tie-break order)."""
+    c, r = block_spheres(patches, pad_to)             # [B,3], [B]
+    s = rays[0:3, :].T                                # [R_pad, 3]
+    d = rays[3:6, :].T
+    rel = c[None, :, :] - s[:, None, :]               # [R_pad, B, 3]
+    t_ca = jnp.einsum("rbk,rk->rb", rel, d)
+    rel2 = jnp.einsum("rbk,rbk->rb", rel, rel)
+    r2 = r[None, :] * r[None, :]
+    hit = ((rel2 - t_ca * t_ca) <= r2) & ((t_ca >= 0.0) | (rel2 <= r2))
+    hit &= (r >= 0.0)[None, :]                        # all-padding blocks
+    tile_hit = hit.reshape(-1, TILE_R, hit.shape[-1]).any(axis=1)   # [T,B]
+    counts = jnp.sum(tile_hit, axis=-1).astype(jnp.int32)
+    lists = jnp.argsort(~tile_hit, axis=-1, stable=True).astype(jnp.int32)
+    return counts, lists
 
 
 def pack_vote_matrix(neighbours, pad_to: int) -> jnp.ndarray:
@@ -427,7 +474,7 @@ _FUSED_MAX_P = 1024
 _BIG_F = 3.4e38  # miss sentinel (matches ops.intersect._BIG)
 
 
-def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
+def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
                          dist_out_ref, idx_out_ref, code_scr, dist_scr):
     """FUSED sweep + select: one invocation per 128-ray tile.
 
@@ -441,7 +488,17 @@ def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
     the same candidate multiset as the reference's brute-force scan with one
     forward retry (reference/bezierMesh.cpp:206-227), min-distance winner,
     first-index tie-break.
+
+    counts/lists are scalar-prefetch args (tile_block_lists): the in-kernel
+    loop runs ONLY over the blocks whose merged sphere is hit by some ray of
+    this tile, so sphere-skippable blocks cost literally nothing (they used
+    to pay loop trip + 32-patch sphere test + branch — the 4.1 ms 'all-skip
+    floor' of round 2).  counts == 0 doubles as the whole-tile early exit.
+    Per-patch spheres still gate the Newton work inside listed blocks (the
+    merged sphere is coarser than the 32 individual ones).
     """
+    i = pl.program_id(0)
+    nb = counts_ref[i]
     rays = rays_ref[:]                    # [8, TILE_R]
     sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
@@ -449,23 +506,13 @@ def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
     dist_out_ref[:] = jnp.full(dist_out_ref.shape, _BIG_F, jnp.float32)
     idx_out_ref[:] = jnp.zeros(idx_out_ref.shape, jnp.int32)
 
-    # tile-level early exit: whole-mesh bounding sphere vs all 128 rays
-    gcx, gcy, gcz, grad_ = gs_ref[0, 0], gs_ref[0, 1], gs_ref[0, 2], gs_ref[0, 3]
-    relx, rely, relz = gcx - sx, gcy - sy, gcz - sz
-    t_ca = relx * dx + rely * dy + relz * dz
-    rel2 = relx * relx + rely * rely + relz * relz
-    g2 = grad_ * grad_
-    tile_hit = ((rel2 - t_ca * t_ca) <= g2) & ((t_ca >= 0.0) | (rel2 <= g2))
-
-    @pl.when(jnp.any(tile_hit))
+    @pl.when(nb > 0)
     def _full():
         code_scr[:] = jnp.full(code_scr.shape, _WHAT_NONE, jnp.int32)
         dist_scr[:] = jnp.zeros(dist_scr.shape, jnp.float32)
 
-        n_blocks = patch_ref.shape[0] // BLOCK_P
-
         def body(k, carry):
-            off = k * BLOCK_P
+            off = lists_ref[i, k] * BLOCK_P
             pt = patch_ref[pl.ds(off, BLOCK_P), :]
 
             def row(j):
@@ -481,7 +528,7 @@ def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
 
             return carry
 
-        jax.lax.fori_loop(0, n_blocks, body, 0)
+        jax.lax.fori_loop(0, nb, body, 0)
 
         # ---- in-kernel select (ops.intersect.select_candidates semantics) --
         code = code_scr[:]                # [P_pad, TILE_R]
@@ -511,7 +558,7 @@ def _sweep_select_kernel(rays_ref, patch_ref, vote_ref, gs_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_select_call(rays, patch_t, votes, gsphere, interpret: bool):
+def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool):
     Rp = rays.shape[1]
     Pp = patch_t.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -520,36 +567,38 @@ def _sweep_select_call(rays, patch_t, votes, gsphere, interpret: bool):
         bytes_accessed=16 * Rp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
         transcendentals=10 * Rp * Pp,
     )
-    return pl.pallas_call(
-        _sweep_select_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # counts [T], lists [T, B]
         grid=(Rp // TILE_R,),
         in_specs=[
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Pp, _N_ROWS), lambda i: (0, 0),
+            pl.BlockSpec((Pp, _N_ROWS), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Pp, 3 * Pp), lambda i: (0, 0),
+            pl.BlockSpec((Pp, 3 * Pp), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Pp, TILE_R), jnp.int32),
             pltpu.VMEM((Pp, TILE_R), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        _sweep_select_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+        ],
         cost_estimate=cost,
         interpret=interpret,
-    )(rays, patch_t, votes, gsphere)
+    )(counts, lists, rays, patch_t, votes)
 
 
 def sweep_select_pallas(patches: BezierPatches, start, direction,
@@ -579,9 +628,10 @@ def sweep_select_pallas(patches: BezierPatches, start, direction,
     # cleanly onto the MXU (and BLOCK_P=32 divides it)
     patch_t = pack_patch_table(patches, 128)
     votes = pack_vote_matrix(patches.neighbours, 128)
-    gsphere = mesh_sphere(patches)[None, :]  # [1,4] SMEM scalars
+    rays_t = rays.T
+    counts, lists = tile_block_lists(patches, rays_t, 128)
     dist8, idx8 = _sweep_select_call(
-        rays.T, patch_t, votes, gsphere, bool(interpret)
+        counts, lists, rays_t, patch_t, votes, bool(interpret)
     )
     best = dist8[0, :R]
     win = idx8[0, :R]
@@ -589,7 +639,7 @@ def sweep_select_pallas(patches: BezierPatches, start, direction,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_call(rays, patch_t, interpret: bool):
+def _sweep_call(rays, patch_t, counts, lists, interpret: bool):
     Rp = rays.shape[1]
     Pp = patch_t.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -599,28 +649,32 @@ def _sweep_call(rays, patch_t, interpret: bool):
         transcendentals=10 * Rp * Pp,
     )
     if Pp <= _RESIDENT_MAX_P:
-        return pl.pallas_call(
-            _sweep_kernel_resident,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # counts [T], lists [T, B]
             grid=(Rp // TILE_R,),
             in_specs=[
-                pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Pp, _N_ROWS), lambda i: (0, 0),
+                pl.BlockSpec((Pp, _N_ROWS), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((Pp, TILE_R), lambda i: (0, i),
+                pl.BlockSpec((Pp, TILE_R), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Pp, TILE_R), lambda i: (0, i),
+                pl.BlockSpec((Pp, TILE_R), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
+        )
+        return pl.pallas_call(
+            _sweep_kernel_resident,
+            grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((Pp, Rp), jnp.int32),
                 jax.ShapeDtypeStruct((Pp, Rp), jnp.float32),
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(rays, patch_t)
+        )(counts, lists, rays, patch_t)
     # large meshes: 2D grid streaming 8-patch tiles from HBM
     return pl.pallas_call(
         _sweep_kernel,
@@ -669,5 +723,10 @@ def sweep_codes_pallas(patches: BezierPatches, start, direction,
     pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
     rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
     patch_t = pack_patch_table(patches, BLOCK_P)
-    code, dist = _sweep_call(rays.T, patch_t, bool(interpret))
+    rays_t = rays.T
+    if patch_t.shape[0] <= _RESIDENT_MAX_P:
+        counts, lists = tile_block_lists(patches, rays_t, BLOCK_P)
+    else:
+        counts = lists = None  # 2D streaming kernel: no in-kernel loop
+    code, dist = _sweep_call(rays_t, patch_t, counts, lists, bool(interpret))
     return code.T[:R, :P], dist.T[:R, :P]

@@ -83,6 +83,36 @@ def render_lens_image(patches, refractive_index, start, direction, screen_plane,
     return splat_bilinear(hit2d.reshape(-1, 2), w.reshape(-1), extent, resolution)
 
 
+def render_emitter_image(patches, refractive_index, emitter, n_rays: int,
+                         origin, screen_plane, extent: float = 4.0,
+                         resolution: int = 128, chunk_size: int = 0):
+    """Point-source render: hemisphere-emitter rays -> lens -> screen image.
+
+    The emitter's belt/patch bin (reference/hostUtil.cpp:9-13 — designed
+    there for GPU warp coherence) is re-purposed as the ray SORT key: rays
+    are ordered by bin before tracing so each 128-ray sweep tile sees
+    spatially coherent directions and the kernel's sphere cull can skip
+    (measured on the robot bench shape: emitter rays 21.7 -> 11.8 ms per
+    intersect, tile skip rate 0.45 -> 0.98; BENCH ray_sort row).  The
+    bilinear splat is order-invariant, so no unsort pass is needed.
+
+    emitter: UniformHemisphere (host-side sampling + binning).
+    origin: [3] emitter position; rays head into the +x hemisphere.
+    """
+    import numpy as np
+
+    d, patch = emitter.sample(n_rays)
+    order = np.argsort(patch, kind="stable")
+    d = jnp.asarray(d[order])
+    s = jnp.broadcast_to(
+        jnp.asarray(origin, jnp.float32)[None, :], d.shape
+    )
+    return render_lens_image(
+        patches, refractive_index, s, d, screen_plane,
+        extent=extent, resolution=resolution, chunk_size=chunk_size,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
 def render_surface_normals(patches, start, direction, light_dir,
                            chunk_size: int = 0):

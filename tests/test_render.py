@@ -177,3 +177,33 @@ def test_dimpled_lens_scene_end_to_end():
         scene.screen_plane, extent=4.0, resolution=16,
     )
     assert float(jnp.sum(img)) > 0.3 * alive.sum()
+
+
+def test_render_emitter_image_sorted_matches_unsorted():
+    """render_emitter_image sorts rays by the emitter's patch bin for sweep
+    tile coherence; the splat is order-invariant so the image must equal the
+    unsorted trace of the same ray multiset (up to scatter-add rounding)."""
+    from cbtr_tpu.models import sphere_lens_scene, scenes
+    from cbtr_tpu.render.render import render_emitter_image, render_lens_image
+
+    sc = sphere_lens_scene(res=4)  # rays unused; we take the scene geometry
+    hemi = UniformHemisphere(belts=5, seed=3)
+    origin = np.asarray(scenes.LENS_CENTER) - np.array([3.0, 0, 0], np.float32)
+
+    img = render_emitter_image(
+        sc.patches, sc.refractive_index, hemi, 512, origin,
+        sc.screen_plane, resolution=32,
+    )
+
+    hemi2 = UniformHemisphere(belts=5, seed=3)  # same stream -> same rays
+    d, _ = hemi2.sample(512)
+    s = np.broadcast_to(origin[None, :], d.shape)
+    ref = render_lens_image(
+        sc.patches, sc.refractive_index, jnp.asarray(s), jnp.asarray(d),
+        sc.screen_plane, resolution=32,
+    )
+    assert float(jnp.sum(img)) > 0.0  # some rays make it through the lens
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-3)
+    np.testing.assert_allclose(
+        float(jnp.sum(img)), float(jnp.sum(ref)), rtol=1e-4
+    )
