@@ -82,11 +82,18 @@ def main() -> None:
     params = params_from_scene(scene)
     n_rays = int(scene.start.shape[0])
 
+    # chunking is an SMEM bound, not a throughput knob: the fused kernel's
+    # per-pair state never leaves VMEM, so one big call wins (93.5 vs
+    # 107 ms at 262144 rays).  The scalar-prefetch block lists [16, T] i32
+    # cap T at ~14k tiles (1 MB SMEM) -> chunk only above ~1.5M rays.
+    def chunk_for(n: int) -> int:
+        return 0 if n <= (1 << 20) else (1 << 20)
+
     def loss_fn(params, start, direction):
         return lens_loss(
             params, scene.patches, start, direction, scene.screen_plane,
             jnp.zeros((128, 128), jnp.float32), resolution=128,
-            chunk_size=65536 if n_rays > 65536 else 0,
+            chunk_size=chunk_for(n_rays),
         )
 
     step = jax.jit(jax.value_and_grad(loss_fn))
@@ -227,7 +234,7 @@ def main() -> None:
             return lens_loss(
                 p, big.patches, s, d, big.screen_plane,
                 jnp.zeros((128, 128), jnp.float32), resolution=128,
-                chunk_size=131072,
+                chunk_size=chunk_for(int(sb_.shape[0])),
             )
 
         step_big = jax.jit(jax.value_and_grad(loss_big))
@@ -245,7 +252,7 @@ def main() -> None:
             return lens_loss(
                 p, ell.patches, s, d, ell.screen_plane,
                 jnp.zeros((128, 128), jnp.float32), resolution=128,
-                chunk_size=65536,
+                chunk_size=chunk_for(int(se.shape[0])),
             )
 
         step_ell = jax.jit(jax.value_and_grad(loss_ell))

@@ -44,17 +44,21 @@ def run_tpu(out: str, res: int, image_res: int, chunk: int) -> None:
 
     sys.path.insert(0, REPO)
     from cbtr_tpu.models import robot_lens_scene
-    from cbtr_tpu.parallel.multihost import multihost_mesh, render_multihost
+    from cbtr_tpu.models.scenes import scene_ortho_grid
+    from cbtr_tpu.parallel.multihost import (
+        multihost_mesh,
+        render_multihost_ortho,
+    )
 
-    scene = robot_lens_scene(res=res)
+    scene = robot_lens_scene(res=1)  # geometry only; rays synthesized on device
+    grid = scene_ortho_grid(res)
     mesh = multihost_mesh()
-    n_rays = int(np.asarray(scene.start).shape[0])
+    n_rays = grid.n_rays
 
     def render():
-        img = render_multihost(
-            mesh, scene.patches, scene.refractive_index, scene.start,
-            scene.direction, scene.screen_plane, resolution=image_res,
-            chunk_size=chunk,
+        img = render_multihost_ortho(
+            mesh, scene.patches, scene.refractive_index, grid,
+            scene.screen_plane, resolution=image_res, chunk_size=chunk,
         )
         jax.block_until_ready(img)
         return np.asarray(img)
@@ -118,7 +122,7 @@ def main() -> None:
     ap.add_argument("--procs", type=int, default=0)
     ap.add_argument("--res", type=int, default=4096)
     ap.add_argument("--image-res", type=int, default=1024)
-    ap.add_argument("--chunk", type=int, default=262144)
+    ap.add_argument("--chunk", type=int, default=1048576)
     ap.add_argument("--out", default=os.path.join(REPO, "RENDER4K_r03.json"))
     args = ap.parse_args()
     if args.tpu:

@@ -27,6 +27,23 @@ from ..render.camera import ortho_ray_grid
 
 LENS_CENTER = np.array([5.0, 0.0, 0.0], np.float32)
 SCREEN_X = 10.0
+ROBOT_BEAM_WIDTH = 1.8      # collimated-beam edge for the robot fixture
+SPHERE_BEAM_WIDTH = 1.6     # ... for the unit-sphere fixture
+ELLIPSOID_BEAM_WIDTH = 3.0  # ... for the ellipsoid/dimpled fixtures
+
+
+def scene_ortho_grid(res: int, beam_width: float = ROBOT_BEAM_WIDTH):
+    """Device-side OrthoGrid matching _finish's host-side ray grid —
+    identical ray layout, synthesized on device (render/camera.py OrthoGrid;
+    used by parallel.multihost.render_multihost_ortho to avoid uploading
+    the global ray array)."""
+    from ..render.camera import OrthoGrid
+
+    return OrthoGrid(
+        center=(0.0, 0.0, 0.0), direction=(1.0, 0.0, 0.0),
+        up=(0.0, 0.0, 1.0), width=beam_width, height=beam_width,
+        res_x=res, res_y=res,
+    )
 
 
 class LensScene(NamedTuple):
@@ -68,20 +85,20 @@ def _finish(mesh: TriMesh, res: int, beam_width: float,
 
 def sphere_lens_scene(res: int = 128, sectors: int = 15, belts: int = 7,
                       refractive_index: float = 1.3) -> LensScene:
-    return _finish(preprocess(make_unit_sphere(sectors, belts)), res, 1.6,
-                   refractive_index)
+    return _finish(preprocess(make_unit_sphere(sectors, belts)), res,
+                   SPHERE_BEAM_WIDTH, refractive_index)
 
 
 def ellipsoid_lens_scene(res: int = 128, sectors: int = 15, belts: int = 5,
                          refractive_index: float = 1.3) -> LensScene:
     mesh = preprocess(make_ellipsoid(sectors, belts, (1.0, 4.0, 2.0)))
-    return _finish(mesh, res, 3.0, refractive_index)
+    return _finish(mesh, res, ELLIPSOID_BEAM_WIDTH, refractive_index)
 
 
 def dimpled_lens_scene(res: int = 128, sectors: int = 21, belts: int = 15,
                        refractive_index: float = 1.3) -> LensScene:
     mesh = preprocess(make_dimpled_solid(sectors, belts, (1.0, 4.0, 2.0)))
-    return _finish(mesh, res, 3.0, refractive_index)
+    return _finish(mesh, res, ELLIPSOID_BEAM_WIDTH, refractive_index)
 
 
 def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
@@ -113,4 +130,4 @@ def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
             patches, mesh.fellow_triangles, mesh.fellow_common_side_starts
         )
         mesh = preprocess(TriMesh(tris))
-    return _finish(mesh, res, 1.8, refractive_index)
+    return _finish(mesh, res, ROBOT_BEAM_WIDTH, refractive_index)

@@ -132,7 +132,7 @@ def _sweep_kernel_resident(counts_ref, lists_ref, rays_ref, patch_ref,
     dist_ref[:] = jnp.zeros(dist_ref.shape, jnp.float32)
 
     def body(k, carry):
-        off = lists_ref[i, k] * BLOCK_P
+        off = lists_ref[k, i] * BLOCK_P
         pt = patch_ref[pl.ds(off, BLOCK_P), :]   # [BLOCK_P, 64]
 
         def row(j):
@@ -398,10 +398,13 @@ def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
     """Per-128-ray-tile candidate block lists for the fused kernel.
 
     rays [8, R_pad] (the kernel's transposed layout).  Returns
-    (counts [T] i32, lists [T, B] i32): lists[t, :counts[t]] are the ids of
+    (counts [T] i32, lists [B, T] i32): lists[:counts[t], t] are the ids of
     blocks whose merged sphere is hit by at least one ray of tile t,
     ascending (so winners keep the staged pipeline's first-index
-    tie-break order)."""
+    tie-break order).  lists is stored block-major because SMEM pads the
+    minor dimension to 128 lanes: [T, B] would burn T*512 bytes of the 1 MB
+    SMEM budget (OOM at T=2048, i.e. one 262144-ray call), [B, T] only
+    B*max(T,128)*4."""
     c, r = block_spheres(patches, pad_to)             # [B,3], [B]
     s = rays[0:3, :].T                                # [R_pad, 3]
     d = rays[3:6, :].T
@@ -414,7 +417,7 @@ def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
     tile_hit = hit.reshape(-1, TILE_R, hit.shape[-1]).any(axis=1)   # [T,B]
     counts = jnp.sum(tile_hit, axis=-1).astype(jnp.int32)
     lists = jnp.argsort(~tile_hit, axis=-1, stable=True).astype(jnp.int32)
-    return counts, lists
+    return counts, lists.T
 
 
 def pack_vote_matrix(neighbours, pad_to: int) -> jnp.ndarray:
@@ -512,7 +515,7 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
         dist_scr[:] = jnp.zeros(dist_scr.shape, jnp.float32)
 
         def body(k, carry):
-            off = lists_ref[i, k] * BLOCK_P
+            off = lists_ref[k, i] * BLOCK_P
             pt = patch_ref[pl.ds(off, BLOCK_P), :]
 
             def row(j):
@@ -568,7 +571,7 @@ def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool):
         transcendentals=10 * Rp * Pp,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # counts [T], lists [T, B]
+        num_scalar_prefetch=2,  # counts [T], lists [B, T]
         grid=(Rp // TILE_R,),
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
@@ -650,7 +653,7 @@ def _sweep_call(rays, patch_t, counts, lists, interpret: bool):
     )
     if Pp <= _RESIDENT_MAX_P:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # counts [T], lists [T, B]
+            num_scalar_prefetch=2,  # counts [T], lists [B, T]
             grid=(Rp // TILE_R,),
             in_specs=[
                 pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),

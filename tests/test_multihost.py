@@ -266,3 +266,28 @@ def test_two_process_distributed_render(tmp_path):
         jnp.asarray(scene.direction), scene.screen_plane, resolution=32,
     )
     np.testing.assert_allclose(imgs[0], np.asarray(ref), atol=1e-4)
+
+
+def test_render_multihost_ortho_matches_uploaded_rays():
+    """render_multihost_ortho synthesizes each ray shard on device from the
+    OrthoGrid closed form; it must match render_multihost fed the host-built
+    ortho_ray_grid of the same spec (same grid layout, no upload)."""
+    from cbtr_tpu.models import sphere_lens_scene
+    from cbtr_tpu.models.scenes import SPHERE_BEAM_WIDTH, scene_ortho_grid
+    from cbtr_tpu.parallel.multihost import render_multihost_ortho
+
+    sc = sphere_lens_scene(res=16, sectors=9, belts=4)
+    mesh = multihost_mesh()
+    grid = scene_ortho_grid(16, beam_width=SPHERE_BEAM_WIDTH)
+    img = render_multihost_ortho(
+        mesh, sc.patches, sc.refractive_index, grid, sc.screen_plane,
+        resolution=32,
+    )
+    ref = render_multihost(
+        mesh, sc.patches, sc.refractive_index, sc.start, sc.direction,
+        sc.screen_plane, resolution=32,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-3)
+    np.testing.assert_allclose(
+        float(jnp.sum(img)), float(jnp.sum(ref)), rtol=1e-4
+    )
