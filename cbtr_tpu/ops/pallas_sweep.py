@@ -466,8 +466,11 @@ def pack_patch_table(patches: BezierPatches, pad_to: int) -> jnp.ndarray:
 
 
 # largest patch table kept fully VMEM-resident by the 1D-grid kernel:
-# table Pp*64*4 B + two [Pp, TILE_R] out blocks (8 B/pair) <= ~4.5 MB
-_RESIDENT_MAX_P = 4096
+# table Pp*64*4 B + two [Pp, TILE_R] out blocks (8 B/pair) <= ~10.3 MB of
+# the v5e's ~16 MB VMEM.  Measured at P=7200 (robot split=4): the resident
+# kernel + scalar-prefetch block lists run the intersect 6x faster than the
+# 2D streaming grid (which pays grid-sequencing + DMA per 8-patch tile).
+_RESIDENT_MAX_P = 8192
 
 # largest patch count handled by the FUSED sweep+select kernel: the [P_pad,
 # 3*P_pad] bf16 vote matrix (6 MB at 1024) + [P_pad, TILE_R] code/dist
