@@ -453,12 +453,14 @@ def _intersect_chunk(patches: BezierPatches, start, direction,
         from . import pallas_sweep as PS
 
         if patches.num_patches <= PS._FUSED_MAX_P:
-            # fused kernel: per-pair state never leaves VMEM
+            # fused kernel: per-pair state never leaves VMEM (MXU vote select)
             any_hit, win, _ = PS.sweep_select_pallas(p_sg, s_sg, d_sg)
-            return recompute_winner(patches, start, direction, any_hit, win)
-        code, dist = PS.sweep_codes_pallas(p_sg, s_sg, d_sg)
-    else:
-        code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
+        else:
+            # winner kernel: in-kernel running argmin + voter-side retry via
+            # permuted neighbour tables; chunks over patches, O(R + P) HBM
+            any_hit, win, _ = PS.sweep_winner_pallas(p_sg, s_sg, d_sg)
+        return recompute_winner(patches, start, direction, any_hit, win)
+    code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
     any_hit, win, _ = select_candidates(code, dist, p_sg.neighbours)
     # stage 3: differentiable winner recompute
     return recompute_winner(patches, start, direction, any_hit, win)
@@ -470,7 +472,11 @@ def intersect_rays(patches: BezierPatches, start, direction,
     """Intersect a batch of rays with the whole Bezier surface.
 
     start/direction: [..., 3].  chunk_size > 0 scans the ray axis in chunks of
-    that size to bound the [chunk, P] working set (VMEM/HBM pressure).
+    that size to bound the [chunk, P] working set (VMEM/HBM pressure);
+    chunk_size = 0 auto-chunks on the Pallas path at the SMEM-safe ray cap
+    (pallas_sweep.safe_ray_cap — the scalar-prefetch block lists [B, T]
+    occupy B*max(T,128)*4 bytes of the ~1 MB SMEM, so unbounded R would die
+    in a Mosaic OOM rather than run).
     backend: "auto" (Pallas sweep on TPU, XLA elsewhere; CBTR_SWEEP env
     overrides), "pallas", or "xla".
     Returns a RayHit with leading shape [...].
@@ -479,6 +485,15 @@ def intersect_rays(patches: BezierPatches, start, direction,
     s = start.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
     R = s.shape[0]
+
+    if backend == "auto":
+        backend = "pallas" if _use_pallas() else "xla"
+    if not chunk_size and backend == "pallas":
+        from . import pallas_sweep as PS
+
+        cap = PS.safe_ray_cap(patches.num_patches)
+        if R > cap:
+            chunk_size = cap
 
     if chunk_size and R > chunk_size:
         pad = (-R) % chunk_size

@@ -420,6 +420,40 @@ def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
     return counts, lists.T
 
 
+def _block_spheres_cr(center, radius):
+    """block_spheres from per-patch (center [Pp,3], radius [Pp]) arrays whose
+    row count is already a BLOCK_P multiple; padding rows are marked by
+    radius <= 0 (packed tables pad with zeros).  Returns ([B,3], [B]) with
+    radius < 0 for all-padding blocks."""
+    cb = center.reshape(-1, BLOCK_P, 3)
+    rb = radius.reshape(-1, BLOCK_P)
+    real = rb > 0.0
+    n_real = jnp.sum(real, axis=1)
+    denom = jnp.maximum(n_real, 1).astype(jnp.float32)
+    c = jnp.sum(jnp.where(real[..., None], cb, 0.0), axis=1) / denom[:, None]
+    reach = jnp.linalg.norm(cb - c[:, None, :], axis=-1) + rb
+    r = jnp.max(jnp.where(real, reach, -1.0), axis=1)
+    return c, r
+
+
+def _tile_lists_cr(center, radius, rays_t):
+    """tile_block_lists from per-patch sphere arrays (see _block_spheres_cr);
+    rays_t [8, R_pad].  Returns (counts [T] i32, lists [B, T] i32)."""
+    c, r = _block_spheres_cr(center, radius)
+    s = rays_t[0:3, :].T
+    d = rays_t[3:6, :].T
+    rel = c[None, :, :] - s[:, None, :]
+    t_ca = jnp.einsum("rbk,rk->rb", rel, d)
+    rel2 = jnp.einsum("rbk,rbk->rb", rel, rel)
+    r2 = r[None, :] * r[None, :]
+    hit = ((rel2 - t_ca * t_ca) <= r2) & ((t_ca >= 0.0) | (rel2 <= r2))
+    hit &= (r >= 0.0)[None, :]
+    tile_hit = hit.reshape(-1, TILE_R, hit.shape[-1]).any(axis=1)
+    counts = jnp.sum(tile_hit, axis=-1).astype(jnp.int32)
+    lists = jnp.argsort(~tile_hit, axis=-1, stable=True).astype(jnp.int32)
+    return counts, lists.T
+
+
 def pack_vote_matrix(neighbours, pad_to: int) -> jnp.ndarray:
     """[P_pad, 3*P_pad] bf16 follow-vote matrix for the fused kernel's MXU
     select: entry (q, s*P_pad + p) is 1 iff ``neighbours[p, s] == q``.
@@ -736,3 +770,272 @@ def sweep_codes_pallas(patches: BezierPatches, start, direction,
         counts = lists = None  # 2D streaming kernel: no in-kernel loop
     code, dist = _sweep_call(rays_t, patch_t, counts, lists, bool(interpret))
     return code.T[:R, :P], dist.T[:R, :P]
+
+
+# ---------------------------------------------------------------------------
+# Winner kernel: in-kernel running argmin for ANY patch count
+# ---------------------------------------------------------------------------
+#
+# The fused kernel above resolves the follow-side retry
+# (reference/bezierMesh.cpp:213-217) with an O(P^2) one-hot vote matmul —
+# MXU-cheap at P <= 1024 but quadratic in memory and flops, so refined
+# meshes (reference/bezierMesh.cpp:79-204 makes 1.8k-16k+ patches) used to
+# fall back to materializing the full [R, P] code/dist in HBM (8 B/pair)
+# plus an XLA select: measured 3.45M rays/s at P=450 vs 0.70M at P=7200 —
+# the throughput cliff was the per-pair HBM round-trip, not compute.
+#
+# This kernel keeps a per-ray running (best distance, best patch) INSIDE the
+# kernel (8 B/ray to HBM) and resolves the retry **at the voter** with
+# host-permuted neighbour tables:
+#
+#   T_s[p] = patch_table[neighbours[p, s]]          (one device gather, O(P))
+#
+# When patch p's gate-ON candidate classifies as cFollowSide_s, the kernel
+# re-evaluates the neighbour q = neighbours[p, s]'s gate-OFF candidate
+# directly from T_s — the same arithmetic on the same f32 rows the staged
+# select would have gathered, so the recomputed (distance, q) is bit-equal
+# to the neighbour's own sweep result.  No gather, no O(P^2) matrix, and —
+# because a voter's chunk always carries T_s copies of its neighbours'
+# rows — patch chunks become embarrassingly parallel: any P is covered by
+# ceil(P / _WINNER_MAX_P) resident kernel calls whose per-ray winners
+# combine with an O(R) min.  The vote recompute only runs per (block, side)
+# when some pair in the block actually voted (pl.when), so its cost scales
+# with boundary-crossing rays, not with P.
+#
+# Total HBM traffic: O(R + P) — rays in, tables in (once: constant
+# index_map), 8 B/ray winners out.  The 2D streaming kernel's
+# tiles * patches table re-streaming and the staged path's 8 B/pair both
+# disappear.
+
+# winner-table feature columns 64..67 live in the lane padding the VMEM
+# (8, 128) f32 tiling already pays for [P, 64] tables — they are free.
+_ROW_NB_ID = 64    # 3 cols: f32 neighbour patch ids (sides 0..2)
+_ROW_SELF_ID = 67  # 1 col: own GLOBAL patch id (f32; exact to 2^24)
+_N_ROWS_W = 68
+
+# per-chunk patch cap: 4 resident tables x [4096, 68->128 lanes] f32 = 8 MB
+# of the v5e's ~16 MB VMEM (the 128-lane padding is physical).
+_WINNER_MAX_P = 4096
+
+# scalar-prefetch SMEM budget for the [B, T] block lists (B*max(T,128)*4 B
+# after lane padding — see tile_block_lists).  Half the 1 MB SMEM, leaving
+# headroom for Mosaic's own scalars.
+_SMEM_LIST_BUDGET = 512 * 1024
+
+
+def safe_ray_cap(num_patches: int) -> int:
+    """Largest per-call ray count whose scalar-prefetch block lists fit the
+    SMEM budget, for the production kernel that handles `num_patches`
+    (fused at P <= _FUSED_MAX_P, winner-chunked above).  Multiple of TILE_R."""
+    if num_patches <= _FUSED_MAX_P:
+        p_pad = num_patches + (-num_patches) % 128
+    else:
+        p_pad = min(num_patches + (-num_patches) % BLOCK_P, _WINNER_MAX_P)
+    blocks = max(p_pad // BLOCK_P, 1)
+    tiles = max(_SMEM_LIST_BUDGET // (4 * blocks), 128)
+    return tiles * TILE_R
+
+
+def pack_winner_tables(patches: BezierPatches):
+    """(base, (T0, T1, T2)): the [P, 68] extended feature table plus its
+    three neighbour-permuted copies T_s[p] = base[neighbours[p, s]] (ids
+    clamped to [0, P) exactly like select_candidates' jnp.take clip mode).
+    All unpadded; the chunked driver pads per chunk."""
+    P = patches.num_patches
+    base64 = pack_patch_table(patches, 1)                     # [P, 64]
+    nb = jnp.clip(patches.neighbours.astype(jnp.int32), 0, P - 1)
+    ids = jnp.arange(P, dtype=jnp.float32)[:, None]
+    base = jnp.concatenate([base64, nb.astype(jnp.float32), ids], axis=1)
+    return base, tuple(base[nb[:, s]] for s in range(3))
+
+
+def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, n0_ref, n1_ref,
+                   n2_ref, dist_ref, idx_ref):
+    """One invocation per 128-ray tile; all four tables VMEM-resident.
+
+    Candidate multiset per ray (identical to select_candidates'):
+      * direct:  patch q with gate-ON what == cIntersect -> (dist[q], q)
+      * retry:   voter p with gate-ON what == cFollowSide_s contributes its
+        neighbour q's gate-OFF candidate, recomputed from T_s[p]
+        -> (dist_off[q], q) if that recompute accepts (what_off == cIntersect)
+        and q's own bounding sphere is hit by the ray (the per-patch cull the
+        staged sweep would have applied to q's row).
+    Winner = min distance; ties keep the earliest accumulation (same
+    candidate reappearing — direct + voted, or two voters — carries the same
+    (dist, q) pair, so the winner is order-independent).
+    """
+    i = pl.program_id(0)
+    nb = counts_ref[i]
+    rays = rays_ref[:]                    # [8, TILE_R]
+    sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+
+    dist_ref[:] = jnp.full(dist_ref.shape, _BIG_F, jnp.float32)
+    idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+    def acc(key, idf):
+        """Fold a candidate tile (key [BLOCK_P, R], idf [BLOCK_P, 1] f32
+        ids) into the running per-ray (best dist, best id)."""
+        bm = jnp.min(key, axis=0, keepdims=True)           # [1, R]
+        sel = jnp.min(jnp.where(key <= bm, idf, _BIG_F), axis=0, keepdims=True)
+        old = dist_ref[:]
+        bm_b = jnp.broadcast_to(bm, old.shape)
+        take = bm_b < old
+        dist_ref[:] = jnp.where(take, bm_b, old)
+        idx_ref[:] = jnp.where(
+            take, jnp.broadcast_to(sel, old.shape).astype(jnp.int32),
+            idx_ref[:],
+        )
+
+    def body(k, carry):
+        off = lists_ref[k, i] * BLOCK_P
+        pt = t0_ref[pl.ds(off, BLOCK_P), :]
+
+        def row(j):
+            return pt[:, j:j + 1]
+
+        sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
+
+        @pl.when(jnp.any(sphere_hit))
+        def _compute():
+            code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
+            what_off = code & 7
+            in_dom = (code >> 3) > 0
+            what_on = jnp.where(in_dom, what_off, _WHAT_NONE)
+            acc(jnp.where(what_on == _WHAT_INTERSECT, dist, _BIG_F),
+                row(_ROW_SELF_ID))
+
+            for s, tref in ((0, n0_ref), (1, n1_ref), (2, n2_ref)):
+                mask_s = what_on == s
+
+                @pl.when(jnp.any(mask_s))
+                def _vote(tref=tref, mask_s=mask_s):
+                    ptn = tref[pl.ds(off, BLOCK_P), :]
+
+                    def rown(j):
+                        return ptn[:, j:j + 1]
+
+                    nb_sphere = _sphere_hit(rown, sx, sy, sz, dx, dy, dz)
+                    code2, dist2 = _sweep_tile(rown, sx, sy, sz, dx, dy, dz)
+                    hit2 = (code2 & 7) == _WHAT_INTERSECT
+                    acc(jnp.where(mask_s & hit2 & nb_sphere, dist2, _BIG_F),
+                        rown(_ROW_SELF_ID))
+
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _winner_call(counts, lists, rays, t0, n0, n1, n2, interpret: bool):
+    Rp = rays.shape[1]
+    Pp = t0.shape[0]
+    flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
+    cost = pl.CostEstimate(
+        # ~2x per-pair: direct sweep + amortized voter-side recomputes
+        flops=2 * flops_pair * Rp * Pp,
+        bytes_accessed=16 * Rp + 4 * 4 * _N_ROWS_W * Pp,
+        transcendentals=20 * Rp * Pp,
+    )
+    table_spec = pl.BlockSpec((Pp, _N_ROWS_W), lambda i, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # counts [T], lists [B, T]
+        grid=(Rp // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            table_spec, table_spec, table_spec, table_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _winner_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(counts, lists, rays, t0, n0, n1, n2)
+
+
+def sweep_winner_pallas(patches: BezierPatches, start, direction,
+                        interpret: bool | None = None):
+    """Per-ray winner of the full scan+retry (reference/bezierMesh.cpp:206-227)
+    for ANY patch count: (any_hit [R] bool, win [R] i32, win_dist [R] f32).
+
+    Patches are processed in VMEM-resident chunks of <= _WINNER_MAX_P whose
+    per-ray winners combine with an O(R) min (retries never cross the chunk
+    boundary — the voter's chunk carries permuted copies of its neighbours'
+    rows, wherever they live).  The ray axis auto-chunks to keep the
+    scalar-prefetch block lists inside the SMEM budget, so callers need no
+    manual chunking at any R."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            interpret = True
+    interpret = bool(interpret)
+    R = start.shape[0]
+    P = patches.num_patches
+    base, perms = pack_winner_tables(patches)
+
+    n_chunks = max(1, -(-P // _WINNER_MAX_P))
+    bucket = _WINNER_MAX_P if P > 2048 else 2048
+
+    def pad_chunk(t, c0):
+        sl = t[c0:min(c0 + _WINNER_MAX_P, P)]
+        return jnp.pad(sl, ((0, bucket - sl.shape[0]), (0, 0)))
+
+    def run_rays(rays_c):
+        """rays_c [8, Rc] -> (best dist [Rc], best id [Rc])."""
+        best_d = best_i = None
+        for c in range(n_chunks):
+            c0 = c * _WINNER_MAX_P
+            tabs = [pad_chunk(t, c0) for t in (base,) + perms]
+            center = tabs[0][:, _ROW_BSPHERE:_ROW_BSPHERE + 3]
+            radius = tabs[0][:, _ROW_BSPHERE + 3]
+            counts, lists = _tile_lists_cr(center, radius, rays_c)
+            d8, i8 = _winner_call(counts, lists, rays_c, *tabs, interpret)
+            d, i = d8[0], i8[0]
+            if best_d is None:
+                best_d, best_i = d, i
+            else:
+                take = d < best_d
+                best_i = jnp.where(take, i, best_i)
+                best_d = jnp.minimum(d, best_d)
+        return best_d, best_i
+
+    pad_r = (-R) % TILE_R
+    rays = jnp.concatenate(
+        [
+            start.astype(jnp.float32),
+            direction.astype(jnp.float32),
+            jnp.zeros((R, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
+    rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
+    rays_t = rays.T                                    # [8, Rp]
+    Rp = rays_t.shape[1]
+
+    cap = safe_ray_cap(P)
+    if Rp <= cap:
+        best, win = run_rays(rays_t)
+    else:
+        pad2 = (-Rp) % cap
+        rt = jnp.pad(rays_t, ((0, 0), (0, pad2)))
+        rt = rt.at[3, Rp:].set(1.0) if pad2 else rt
+        chunks = jnp.moveaxis(rt.reshape(8, -1, cap), 1, 0)  # [n, 8, cap]
+        d_c, i_c = jax.lax.map(run_rays, chunks)
+        best = d_c.reshape(-1)[:Rp]
+        win = i_c.reshape(-1)[:Rp]
+    return best[:R] < (_BIG_F * 0.5), win[:R], best[:R]

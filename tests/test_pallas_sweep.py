@@ -128,6 +128,94 @@ def test_fused_select_pad_and_miss_rays(scene):
     assert (np.asarray(win)[a] < scene.num_patches).all()
 
 
+def test_winner_kernel_matches_staged_select(scene, rays):
+    """The winner kernel (in-kernel running argmin + voter-side retry via
+    permuted neighbour tables) must return the same winner as the staged
+    pipeline: same any_hit, same patch, bit-equal distance (the voter-side
+    recompute runs the identical arithmetic on an exact copy of the
+    neighbour's table row)."""
+    from cbtr_tpu.ops.intersect import select_candidates
+    from cbtr_tpu.ops.pallas_sweep import sweep_winner_pallas
+
+    start, d = rays
+    code, dist = sweep_codes_pallas(scene, start, d, interpret=True)
+    any_a, win_a, key_a = select_candidates(code, dist, scene.neighbours)
+    any_b, win_b, key_b = sweep_winner_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
+    hit = np.asarray(any_a)
+    assert hit.sum() >= 16, "fixture too weak"
+    np.testing.assert_array_equal(np.asarray(win_a)[hit], np.asarray(win_b)[hit])
+    np.testing.assert_array_equal(np.asarray(key_a)[hit], np.asarray(key_b)[hit])
+
+
+def test_winner_kernel_patch_chunking(scene, rays, monkeypatch):
+    """Chunking the patch axis must not change any winner: retries are
+    resolved at the voter from permuted rows, so chunk boundaries cannot cut
+    a retry edge."""
+    import cbtr_tpu.ops.pallas_sweep as PS
+
+    start, d = rays
+    any_a, win_a, key_a = PS.sweep_winner_pallas(scene, start, d, interpret=True)
+    monkeypatch.setattr(PS, "_WINNER_MAX_P", 64)  # force ceil(P/64) chunks
+    assert scene.num_patches > 64
+    any_b, win_b, key_b = PS.sweep_winner_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
+    hit = np.asarray(any_a)
+    np.testing.assert_array_equal(np.asarray(win_a)[hit], np.asarray(win_b)[hit])
+    np.testing.assert_array_equal(np.asarray(key_a)[hit], np.asarray(key_b)[hit])
+
+
+def test_winner_kernel_ray_autochunk(scene, monkeypatch):
+    """Ray counts beyond the SMEM-safe cap are chunked internally (no caller
+    chunking needed) with identical results, including unaligned tails."""
+    import cbtr_tpu.ops.pallas_sweep as PS
+
+    rng = np.random.default_rng(11)
+    n = 300  # pads to 384 = 3 tiles, then chunks at a forced cap of 128
+    start = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    start[:, 0] -= 3.0
+    target = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    start, d = jnp.asarray(start), jnp.asarray(d)
+
+    any_a, win_a, key_a = PS.sweep_winner_pallas(scene, start, d, interpret=True)
+    monkeypatch.setattr(PS, "safe_ray_cap", lambda p: 128)
+    any_b, win_b, key_b = PS.sweep_winner_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
+    hit = np.asarray(any_a)
+    assert hit.sum() >= 16
+    np.testing.assert_array_equal(np.asarray(win_a)[hit], np.asarray(win_b)[hit])
+    np.testing.assert_array_equal(np.asarray(key_a)[hit], np.asarray(key_b)[hit])
+
+
+def test_intersect_rays_winner_path_end_to_end(scene, monkeypatch):
+    """intersect_rays routes P > _FUSED_MAX_P onto the winner kernel; the
+    RayHit must agree with the XLA backend at the bench bar."""
+    import cbtr_tpu.ops.pallas_sweep as PS
+
+    monkeypatch.setattr(PS, "_FUSED_MAX_P", 0)  # force the winner path
+    rng = np.random.default_rng(13)
+    n = 512
+    start = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    start[:, 0] -= 3.0
+    target = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    start, d = jnp.asarray(start), jnp.asarray(d)
+
+    a = intersect_rays(scene, start, d, backend="xla")
+    b = intersect_rays(scene, start, d, backend="pallas")
+    hit_a = np.asarray(a.what == WHAT_INTERSECT)
+    hit_b = np.asarray(b.what == WHAT_INTERSECT)
+    assert np.mean(hit_a == hit_b) >= 0.999
+    both = hit_a & hit_b
+    np.testing.assert_allclose(
+        np.asarray(a.distance)[both], np.asarray(b.distance)[both],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_resident_and_2d_grid_kernels_agree(scene, rays, monkeypatch):
     """The VMEM-resident 1D-grid kernel (small P) and the streaming 2D-grid
     kernel (large P) compute identical codes/distances."""
