@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def worker(pid: int, nproc: int, port: int, out: str, res: int,
-           train: bool) -> None:
+           train: bool, train_ortho: bool = False) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
 
@@ -35,6 +35,7 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int,
     from cbtr_tpu.parallel.multihost import (
         init_distributed,
         make_multihost_train_step,
+        make_multihost_train_step_ortho,
         multihost_mesh,
         render_multihost,
     )
@@ -53,6 +54,31 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int,
     # identical procedural scene on every process (deterministic preprocessing)
     scene = sphere_lens_scene(res=res, sectors=9, belts=4)
     mesh = multihost_mesh()
+
+    if train_ortho:
+        # the TRAIN4K path: rays synthesized on device per shard, gradient
+        # psum across the process boundary (benchmarks/train4k.py --procs)
+        from cbtr_tpu.models.scenes import SPHERE_BEAM_WIDTH, scene_ortho_grid
+
+        params = params_from_scene(scene)
+        target = jnp.zeros((32, 32), jnp.float32)
+        grid = scene_ortho_grid(res, beam_width=SPHERE_BEAM_WIDTH)
+        step = make_multihost_train_step_ortho(
+            mesh, scene.patches, scene.screen_plane, target, grid,
+            resolution=32, learning_rate=1e-4,
+        )
+        p1, loss1, _ = step(params)
+        p2, loss2, _ = step(p1)
+        np.savez(
+            f"{out}.proc{pid}",
+            cp=np.asarray(p2.control_points),
+            n_refr=np.asarray(p2.refractive_index),
+            loss1=float(loss1), loss2=float(loss2),
+            n_processes=jax.process_count(), n_devices=len(jax.devices()),
+        )
+        print(f"proc {pid}/{nproc} train-ortho: loss {float(loss1):.8f} -> "
+              f"{float(loss2):.8f}", flush=True)
+        return
 
     if train:
         # two SGD steps whose gradient psum crosses the process boundary —
@@ -88,17 +114,19 @@ def worker(pid: int, nproc: int, port: int, out: str, res: int,
           f"image sum {img.sum():.6f}", flush=True)
 
 
-def launch(nproc: int, out: str, res: int, train: bool) -> int:
+def launch(nproc: int, out: str, res: int, train: bool,
+           train_ortho: bool = False) -> int:
     import socket
 
     with socket.socket() as s:  # grab a free port
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    extra = ["--train"] if train else (["--train-ortho"] if train_ortho else [])
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(pid),
              "--procs", str(nproc), "--port", str(port), "--out", out,
-             "--res", str(res)] + (["--train"] if train else []),
+             "--res", str(res)] + extra,
             cwd=REPO,
         )
         for pid in range(nproc)
@@ -118,15 +146,20 @@ def main() -> None:
     ap.add_argument("--res", type=int, default=16)
     ap.add_argument("--train", action="store_true",
                     help="run 2 multihost SGD steps instead of a render")
+    ap.add_argument("--train-ortho", action="store_true",
+                    help="run 2 device-synthesized-ray SGD steps (TRAIN4K path)")
     args = ap.parse_args()
     if args.worker >= 0:
         worker(args.worker, args.procs, args.port, args.out, args.res,
-               args.train)
+               args.train, args.train_ortho)
     else:
-        rc = launch(args.procs, args.out, args.res, args.train)
+        rc = launch(args.procs, args.out, args.res, args.train,
+                    args.train_ortho)
         if rc:
             sys.exit(rc)
-        print("multiprocess", "train" if args.train else "render", "OK")
+        mode = ("train" if args.train
+                else "train-ortho" if args.train_ortho else "render")
+        print("multiprocess", mode, "OK")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,20 @@ class Config:
     # the flag=False (strict upstream) semantics in a fresh subprocess.
     clamp_secant_estimate: bool = True
 
+    # Opt-in fast-math (not a reference constant; default OFF preserves the
+    # division-exact Newton op mix): replace the ~12 hardware divides per
+    # (ray, patch) Newton evaluation in the Pallas sweep kernels with an
+    # exponent-negation reciprocal approximation + 2 Newton refinements
+    # (~6e-6 relative error, pure mul/sub VPU ops) — the measured ~1.3x op-
+    # mix headroom PERF.md's roofline names.  The differentiable winner
+    # recompute stays exact either way; only sweep acceptance/distance can
+    # shift by ~1e-5, which the recompute_reject_count guard bounds.
+    #
+    # TRACE-TIME CAPTURE: like clamp_secant_estimate, read during trace —
+    # set BEFORE the first jit/Pallas call in the process
+    # (tests/test_fast_newton.py pins both settings in fresh subprocesses).
+    fast_newton: bool = False
+
     # --- thick-patch refinement (bezierMesh.h:12-14) ---
     sample_ratios_original_side: tuple = (0.25, 0.5, 0.75)
     bezier_height_per_perimeter_limit: float = 0.03

@@ -7,3 +7,4 @@ from .scenes import (  # noqa: F401
     dimpled_lens_scene,
 )
 from .lens_model import LensParams, lens_forward, lens_loss, make_train_step  # noqa: F401
+from .fit import fit_lens, fit_emitter_lens, emitter_rays  # noqa: F401

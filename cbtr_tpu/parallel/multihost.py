@@ -154,6 +154,29 @@ def render_multihost(mesh: Mesh, patches, refractive_index, start, direction,
     )
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "ray_sharding", "resolution", "extent",
+                     "chunk_size"),
+)
+def _ortho_render_jit(patches_in, refractive_index, screen, grid,
+                      ray_sharding, resolution, extent, chunk_size):
+    """Module-level jit so repeated render_multihost_ortho calls hit the
+    jit cache instead of retracing a fresh closure per call (grid /
+    sharding are hashable statics)."""
+    idx = jax.lax.with_sharding_constraint(
+        jnp.arange(grid.n_rays, dtype=jnp.int32), ray_sharding
+    )
+    s, d = grid.rays_at(idx)
+    return render_lens_image(
+        patches_in, refractive_index, s, d, screen,
+        extent=extent, resolution=resolution, chunk_size=chunk_size,
+    )
+
+
 def render_multihost_ortho(mesh: Mesh, patches, refractive_index,
                            grid, screen_plane, resolution: int = 128,
                            extent: float = 4.0, chunk_size: int = 0,
@@ -171,26 +194,66 @@ def render_multihost_ortho(mesh: Mesh, patches, refractive_index,
     device count in practice).
     """
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    R = grid.n_rays
-    if R % n:
-        raise ValueError(f"grid rays {R} not divisible by {n} devices")
+    if grid.n_rays % n:
+        raise ValueError(f"grid rays {grid.n_rays} not divisible by {n} devices")
     rep = NamedSharding(mesh, P())
     patches_r = jax.device_put(patches, rep)
     screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
     ray_sharding = NamedSharding(mesh, P(axis))
+    return _ortho_render_jit(
+        patches_r, jnp.float32(refractive_index), screen_r, grid,
+        ray_sharding, resolution, extent, chunk_size,
+    )
 
-    @jax.jit
-    def run(patches_in):
+
+def make_multihost_train_step_ortho(mesh: Mesh, patches, screen_plane,
+                                    target, grid, resolution: int = 128,
+                                    extent: float = 4.0,
+                                    learning_rate: float = 1e-3,
+                                    chunk_size: int = 0, axis: str = "rays"):
+    """SPMD train step with rays SYNTHESIZED ON DEVICE from an OrthoGrid —
+    the training analogue of render_multihost_ortho: params replicated,
+    each device builds its own ray shard from the closed-form grid (no
+    402 MB host upload at 4096^2), backward psums the control-point /
+    refractive-index grads over ICI/DCN.
+
+    Returns run(params) -> (new_params, loss, grads); grads are returned so
+    large-scale artifacts can checksum them (TRAIN4K).  Requires
+    grid.n_rays % device_count == 0."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if grid.n_rays % n:
+        raise ValueError(f"grid rays {grid.n_rays} not divisible by {n} devices")
+    rep = NamedSharding(mesh, P())
+    patches_r = jax.device_put(patches, rep)
+    screen_r = jax.device_put(jnp.asarray(screen_plane), rep)
+    target_r = jax.device_put(jnp.asarray(target), rep)
+    ray_sharding = NamedSharding(mesh, P(axis))
+
+    def loss_fn(params):
         idx = jax.lax.with_sharding_constraint(
-            jnp.arange(R, dtype=jnp.int32), ray_sharding
+            jnp.arange(grid.n_rays, dtype=jnp.int32), ray_sharding
         )
         s, d = grid.rays_at(idx)
-        return render_lens_image(
-            patches_in, refractive_index, s, d, screen_r,
-            extent=extent, resolution=resolution, chunk_size=chunk_size,
+        return lens_loss(
+            params, patches_r, s, d, screen_r, target_r,
+            resolution=resolution, extent=extent, chunk_size=chunk_size,
         )
 
-    return run(patches_r)
+    @jax.jit
+    def step(params: LensParams):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        new = LensParams(
+            control_points=params.control_points
+            - learning_rate * grads.control_points,
+            refractive_index=params.refractive_index
+            - learning_rate * grads.refractive_index,
+        )
+        return new, loss, grads
+
+    def run(params: LensParams):
+        return step(jax.device_put(params, rep))
+
+    return run
 
 
 def make_multihost_train_step(mesh: Mesh, patches, screen_plane, target,

@@ -268,6 +268,68 @@ def test_two_process_distributed_render(tmp_path):
     np.testing.assert_allclose(imgs[0], np.asarray(ref), atol=1e-4)
 
 
+def test_train_step_ortho_matches_uploaded_rays(scene):
+    """make_multihost_train_step_ortho (rays synthesized per shard on
+    device) must take the same SGD step as make_multihost_train_step fed
+    the host-built grid of the same spec."""
+    from cbtr_tpu.models.scenes import SPHERE_BEAM_WIDTH, scene_ortho_grid
+    from cbtr_tpu.parallel.multihost import make_multihost_train_step_ortho
+
+    mesh = multihost_mesh()
+    params = params_from_scene(scene)
+    target = jnp.zeros((32, 32), jnp.float32)
+    grid = scene_ortho_grid(16, beam_width=SPHERE_BEAM_WIDTH)
+
+    step_o = make_multihost_train_step_ortho(
+        mesh, scene.patches, scene.screen_plane, target, grid,
+        resolution=32, learning_rate=1e-4,
+    )
+    p1, loss1, grads1 = step_o(params)
+    p2, loss2, _ = step_o(p1)
+    assert float(loss2) < float(loss1)
+    assert np.isfinite(np.asarray(grads1.control_points)).all()
+    assert float(jnp.linalg.norm(grads1.control_points)) > 0
+
+    step_u = make_multihost_train_step(
+        mesh, scene.patches, scene.screen_plane, target, resolution=32,
+        learning_rate=1e-4,
+    )
+    q1, uloss1 = step_u(params, scene.start, scene.direction)
+    assert float(loss1) == pytest.approx(float(uloss1), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1.control_points), np.asarray(q1.control_points),
+        rtol=1e-5, atol=1e-8,
+    )
+
+
+@pytest.mark.slow
+def test_two_process_train_step_ortho(tmp_path):
+    """The TRAIN4K path across 2 real jax.distributed processes: rays
+    synthesized per shard, gradient psum across the process boundary,
+    bit-identical post-step params on both processes."""
+    out = str(tmp_path / "mpo")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks/multiprocess_render.py"),
+         "--procs", "2", "--out", out, "--res", "16", "--train-ortho"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    files = sorted(glob.glob(out + ".proc*.npz"))
+    assert len(files) == 2
+    runs = []
+    for f in files:
+        with np.load(f) as data:
+            assert int(data["n_processes"]) == 2
+            runs.append((data["cp"], data["n_refr"], float(data["loss1"]),
+                         float(data["loss2"])))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    assert runs[0][2] == runs[1][2] and runs[0][3] == runs[1][3]
+    assert runs[0][3] < runs[0][2], "loss must descend"
+
+
 def test_render_multihost_ortho_matches_uploaded_rays():
     """render_multihost_ortho synthesizes each ray shard on device from the
     OrthoGrid closed form; it must match render_multihost fed the host-built
