@@ -82,18 +82,15 @@ def main() -> None:
     params = params_from_scene(scene)
     n_rays = int(scene.start.shape[0])
 
-    # chunking is an SMEM bound, not a throughput knob: the fused kernel's
-    # per-pair state never leaves VMEM, so one big call wins (93.5 vs
-    # 107 ms at 262144 rays).  The scalar-prefetch block lists [16, T] i32
-    # cap T at ~14k tiles (1 MB SMEM) -> chunk only above ~1.5M rays.
-    def chunk_for(n: int) -> int:
-        return 0 if n <= (1 << 20) else (1 << 20)
-
+    # chunking is an SMEM bound, not a throughput knob, and since round 4 it
+    # lives inside the library: intersect_rays auto-chunks the ray axis at
+    # pallas_sweep.safe_ray_cap(P) (the scalar-prefetch block lists [B, T]
+    # must fit the ~1 MB SMEM; B depends on patch count).  chunk_size=0
+    # everywhere exercises that guard.
     def loss_fn(params, start, direction):
         return lens_loss(
             params, scene.patches, start, direction, scene.screen_plane,
             jnp.zeros((128, 128), jnp.float32), resolution=128,
-            chunk_size=chunk_for(n_rays),
         )
 
     step = jax.jit(jax.value_and_grad(loss_fn))
@@ -234,7 +231,6 @@ def main() -> None:
             return lens_loss(
                 p, big.patches, s, d, big.screen_plane,
                 jnp.zeros((128, 128), jnp.float32), resolution=128,
-                chunk_size=chunk_for(int(sb_.shape[0])),
             )
 
         step_big = jax.jit(jax.value_and_grad(loss_big))
@@ -252,7 +248,6 @@ def main() -> None:
             return lens_loss(
                 p, ell.patches, s, d, ell.screen_plane,
                 jnp.zeros((128, 128), jnp.float32), resolution=128,
-                chunk_size=chunk_for(int(se.shape[0])),
             )
 
         step_ell = jax.jit(jax.value_and_grad(loss_ell))
@@ -263,20 +258,58 @@ def main() -> None:
             "rays_per_s": round(se.shape[0] / t_ell, 1),
         }
 
-        # ---- large-P rows on hardware (round-2 weak #4) --------------------
-        # refined robot (1800 patches -> VMEM-resident non-fused kernel) and
-        # split-4 robot (7200 patches -> the 2D-grid streaming kernel), each
-        # with an on-device Pallas/XLA agreement check at that shape.
-        for label, scn, chunk in (
-            ("robot_refined", robot_lens_scene(res=256, refine=True), 0),
-            ("robot_split4", robot_lens_scene(res=256, split=4), 16384),
+        # ---- large-P rows on hardware ------------------------------------
+        # All three route onto the winner kernel (in-kernel argmin +
+        # voter-side retry, patch-chunked at 4096): refined (P=1800, one
+        # 2048 chunk), split-4 (P=7200, two 4096 chunks) and split-6
+        # (P=16200, four chunks — the scale the old 2D streaming kernel
+        # covered, now with O(R+P) HBM instead of 8 B/pair).  Each row
+        # carries an on-device Pallas/XLA agreement check at that shape;
+        # the split-6 scene build doubles as the preprocess wall-time row
+        # (native C++ runtime by default since round 4).
+        t0p = time.perf_counter()
+        scn6 = robot_lens_scene(res=256, split=6)
+        split6_build_s = time.perf_counter() - t0p
+        from cbtr_tpu import native as _native
+
+        extras["preprocess_split6"] = {
+            "faces": int(scn6.patches.num_patches) // 3,
+            "scene_build_s": round(split6_build_s, 3),
+            "native_runtime": _native.available(),
+        }
+        # direct preprocess-stage timing (weld + orient + topology +
+        # averages) on the split-6 mesh, native C++ vs the NumPy oracle
+        from cbtr_tpu.harness import preprocess as _pre
+        from cbtr_tpu.mesh.core import TriMesh as _TM
+
+        _m = _TM().read("/root/reference/reference/robot.stl")
+        _m = _pre(_m)
+        _c = _m.tris.reshape(-1, 3).mean(axis=0)
+        _m.translate(-_c)
+        _m.scale(1.0 / float(np.abs(_m.tris).max()))
+        _m = _pre(_m)
+        _m.split_triangles(6)
+        _tris6 = _m.tris.copy()
+        if _native.available():
+            t0p = time.perf_counter()
+            _pre(_TM(_tris6.copy()))
+            extras["preprocess_split6"]["native_s"] = round(
+                time.perf_counter() - t0p, 4
+            )
+        t0p = time.perf_counter()
+        _pre(_TM(_tris6.copy()), use_native=False)
+        extras["preprocess_split6"]["numpy_s"] = round(
+            time.perf_counter() - t0p, 4
+        )
+        for label, scn in (
+            ("robot_refined", robot_lens_scene(res=256, refine=True)),
+            ("robot_split4", robot_lens_scene(res=256, split=4)),
+            ("robot_split6", scn6),
         ):
             sl = jnp.asarray(scn.start).reshape(-1, 3)
             dl = jnp.asarray(scn.direction).reshape(-1, 3)
             big_jit = jax.jit(
-                lambda s, d, _p=scn.patches, _c=chunk: intersect_rays(
-                    _p, s, d, chunk_size=_c
-                )
+                lambda s, d, _p=scn.patches: intersect_rays(_p, s, d)
             )
             t_l = _timeit(big_jit, max(iters // 2, 2), sl, dl)
             row = {
@@ -369,6 +402,77 @@ def main() -> None:
                 _block_skip_rate(s_em[order], d_em[order]), 3
             ),
         }
+
+    # ---- emitter-illumination fit: one train step on point-source rays ----
+    # the reference's motivating use case (car-lamp optics,
+    # reference/README.md:159-165): hemisphere-emitter rays, bin-sorted
+    # (the production emitter sort), full fwd+bwd against an image target.
+    if not smoke:
+        from cbtr_tpu.models.fit import emitter_rays
+
+        s_ef, d_ef = emitter_rays(R, belts=16, seed=1)
+        loss_ef, grads_ef = step(params, s_ef, d_ef)
+        jax.block_until_ready((loss_ef, grads_ef))
+        t_ef = _timeit(step, max(iters // 2, 2), params, s_ef, d_ef)
+        gn = float(jnp.linalg.norm(grads_ef.control_points))
+        assert np.isfinite(float(loss_ef)) and np.isfinite(gn) and gn > 0
+        extras["emitter_fit"] = {
+            "rays": R,
+            "rays_per_s_fwd_bwd": round(R / t_ef, 1),
+            "loss": float(loss_ef),
+            "grad_cp_norm": round(gn, 6),
+        }
+
+    # ---- opt-in fast-math Newton (config.fast_newton) ---------------------
+    # trace-time-captured flag -> measured in a fresh subprocess at the
+    # breakdown shape; reported next to the default-divide fused time so
+    # both rates ship in every BENCH artifact.
+    if not smoke and _use_pallas():
+        import os as _os2
+        import subprocess as _sp
+        import sys as _sys2
+
+        fast_script = r"""
+import json, time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cbtr_tpu.config import DEFAULT as CFG
+object.__setattr__(CFG, "fast_newton", True)
+import jax.numpy as jnp
+from cbtr_tpu.models import robot_lens_scene
+from cbtr_tpu.ops.pallas_sweep import sweep_select_pallas
+scene = robot_lens_scene(res=256)
+s = jnp.asarray(scene.start).reshape(-1, 3)
+d = jnp.asarray(scene.direction).reshape(-1, 3)
+fn = jax.jit(lambda s_, d_: sweep_select_pallas(scene.patches, s_, d_))
+out = fn(s, d); jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(5):
+    out = fn(s, d)
+jax.block_until_ready(out)
+print(json.dumps({"fused_ms": round((time.perf_counter() - t0) / 5 * 1e3, 3),
+                  "hits": int(jnp.sum(out[0]))}))
+"""
+        env = dict(_os2.environ)
+        try:
+            proc = _sp.run(
+                [_sys2.executable, "-c", fast_script], capture_output=True,
+                text=True, timeout=1500, env=env,
+                cwd=_os2.path.dirname(_os2.path.abspath(__file__)),
+            )
+            fast = json.loads(proc.stdout.strip().splitlines()[-1])
+            # default-divide fused time at the same 65,536-ray shape
+            fused_default = breakdown.get("fused_sweep_select")
+            extras["fast_newton"] = {
+                "fused_ms": fast["fused_ms"],
+                "default_fused_ms": fused_default,
+                "speedup": round(fused_default / fast["fused_ms"], 3)
+                if fused_default else None,
+                "hits": fast["hits"],
+            }
+        except Exception as e:  # report, don't fail the artifact
+            extras["fast_newton"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---- reference-semantics NumPy baseline (forward only, extrapolated) ----
     from cbtr_tpu.harness.reference_tracer import ReferenceTracer

@@ -40,8 +40,12 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / args.iters
 
+    def log(*a):
+        print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
+
     scenes = {}
     for name in args.shapes.split(","):
+        t0 = time.perf_counter()
         if name == "refined":
             scenes[name] = robot_lens_scene(res=args.res, refine=True)
         elif name.startswith("split"):
@@ -49,8 +53,11 @@ def main():
                                             split=int(name[5:]))
         else:
             raise SystemExit(f"unknown shape {name}")
+        log(f"scene {name} built in {time.perf_counter() - t0:.1f}s "
+            f"({scenes[name].patches.num_patches} patches)")
 
     for name, scn in scenes.items():
+        log(f"benching {name} ...")
         s = jnp.asarray(scn.start).reshape(-1, 3)
         d = jnp.asarray(scn.direction).reshape(-1, 3)
         R = int(s.shape[0])

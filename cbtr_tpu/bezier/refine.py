@@ -14,6 +14,7 @@ re-preprocessed and re-built into patches (reference README.md:133).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import geom
@@ -27,21 +28,27 @@ from .patches import BezierPatches, interpolate, interpolate_linear
 # _emit_2split/_emit_3split; 9 marks impossible codes.
 
 
+@jax.jit
+def _blended_midpoints_dev(control_points):
+    bary = jnp.asarray([0.5, 0.5, 0.0], jnp.float32)
+    cubic = interpolate(control_points, bary)
+    linear = interpolate_linear(control_points, bary)
+    f = CFG.split_bezier_interpolate_factor
+    return cubic * f + linear * (1.0 - f)
+
+
 def _blended_midpoints(patches: BezierPatches) -> np.ndarray:
     """Split vertex for each patch at barycentric (.5,.5,0):
-    0.7*cubic + 0.3*linear (reference/bezierMesh.cpp:200-204).  [P,3]."""
-    bary = jnp.asarray([0.5, 0.5, 0.0], jnp.float32)
-    cubic = interpolate(patches.control_points, bary)
-    linear = interpolate_linear(patches.control_points, bary)
-    f = CFG.split_bezier_interpolate_factor
-    return np.asarray(cubic * f + linear * (1.0 - f), np.float32)
+    0.7*cubic + 0.3*linear (reference/bezierMesh.cpp:200-204).  [P,3].
+
+    jitted (not eager): through this image's TPU tunnel every EAGER op pays
+    its own compile+dispatch round-trip — the refine sampling used to cost
+    ~5 minutes wall on the tunnel vs ~1 s as two cached jits."""
+    return np.asarray(_blended_midpoints_dev(patches.control_points), np.float32)
 
 
-def _face_heights(patches: BezierPatches) -> np.ndarray:
-    """Max |height| of each original face's Bezier surface over its flat
-    triangle, sampled at the centroid point and at ratios .25/.5/.75 along
-    each original side (reference/bezierMesh.cpp:85-96).  [F]."""
-    cp = patches.control_points
+@jax.jit
+def _face_heights_dev(cp):
     P = cp.shape[0]
     F = P // 3
     v = cp[:, 0, :].reshape(F, 3, 3)  # original triangle corners
@@ -52,7 +59,15 @@ def _face_heights(patches: BezierPatches) -> np.ndarray:
     bary = jnp.stack([ratios, 1.0 - ratios, jnp.zeros_like(ratios)], axis=-1)  # [S,3]
     pts = interpolate(cp[:, None, :, :], bary[None, :, :]).reshape(F, 3, -1, 3)
     d = jnp.abs(geom.plane_distance(plane[:, None, None, :], pts))  # [F,3,S]
-    return np.asarray(jnp.maximum(h, jnp.max(d, axis=(1, 2))), np.float32)
+    return jnp.maximum(h, jnp.max(d, axis=(1, 2)))
+
+
+def _face_heights(patches: BezierPatches) -> np.ndarray:
+    """Max |height| of each original face's Bezier surface over its flat
+    triangle, sampled at the centroid point and at ratios .25/.5/.75 along
+    each original side (reference/bezierMesh.cpp:85-96).  [F].
+    jitted for the same tunnel-eager-dispatch reason as _blended_midpoints."""
+    return np.asarray(_face_heights_dev(patches.control_points), np.float32)
 
 
 def split_thick_patches(patches: BezierPatches, fellow, fellow_starts):

@@ -42,6 +42,10 @@ class TriMesh:
         self.face2vertex: Optional[np.ndarray] = None  # [F,3] int32 vertex ids
         self.vertices: Optional[np.ndarray] = None  # [V,3] unique welded vertices
         self.vertex_average_normals: Optional[np.ndarray] = None  # [V,3]
+        # per-corner average normals [F,3,3]; set by the native preprocessing
+        # runtime (cbtr_tpu/native) and preferred by device_arrays when
+        # present (otherwise derived from vertex_average_normals)
+        self.corner_average_normals: Optional[np.ndarray] = None
 
     # -- container facade -------------------------------------------------
     def __len__(self) -> int:
@@ -58,6 +62,7 @@ class TriMesh:
             "face2vertex",
             "vertices",
             "vertex_average_normals",
+            "corner_average_normals",
         ):
             val = getattr(self, name)
             setattr(out, name, None if val is None else val.copy())
@@ -182,6 +187,7 @@ class TriMesh:
     def standardize_normals(self) -> None:
         """Orient all face normals outwards, then build neighbour tables and
         vertex-average normals.  Mirrors Mesh::standardizeNormals."""
+        self.corner_average_normals = None  # drop any stale native-stage stash
         self._build_vertex_index()
         self._build_face2neighbour()
 
@@ -347,7 +353,10 @@ class TriMesh:
     def device_arrays(self) -> Dict[str, np.ndarray]:
         """Flat arrays consumed by the TPU Bézier construction pass."""
         assert self.fellow_triangles is not None, "run standardize_normals() first"
-        corner_avg_normals = self.vertex_average_normals[self.face2vertex]
+        if self.corner_average_normals is not None:
+            corner_avg_normals = self.corner_average_normals
+        else:
+            corner_avg_normals = self.vertex_average_normals[self.face2vertex]
         return dict(
             tris=self.tris,
             fellow_triangles=self.fellow_triangles.astype(np.int32),

@@ -706,7 +706,7 @@ def _sweep_call(rays, patch_t, counts, lists, interpret: bool):
         bytes_accessed=8 * Rp * Pp + (Rp // TILE_R) * 4 * _N_ROWS * Pp,
         transcendentals=10 * Rp * Pp,
     )
-    if Pp <= _RESIDENT_MAX_P:
+    if counts is not None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # counts [T], lists [B, T]
             grid=(Rp // TILE_R,),
@@ -782,7 +782,16 @@ def sweep_codes_pallas(patches: BezierPatches, start, direction,
     rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
     patch_t = pack_patch_table(patches, BLOCK_P)
     rays_t = rays.T
-    if patch_t.shape[0] <= _RESIDENT_MAX_P:
+    # The resident kernel's scalar-prefetch lists [B, T] occupy
+    # B*max(T,128)*4 + T*4 bytes of SMEM (lane padding, see
+    # tile_block_lists).  If the caller's ray count would blow the budget,
+    # degrade to the 2D streaming grid instead of dying in a Mosaic OOM
+    # (production callers are auto-chunked by intersect_rays and never land
+    # here; this guards direct sweep calls).
+    blocks = patch_t.shape[0] // BLOCK_P
+    tiles = rays_t.shape[1] // TILE_R
+    lists_bytes = blocks * max(tiles, 128) * 4 + tiles * 4
+    if patch_t.shape[0] <= _RESIDENT_MAX_P and lists_bytes <= _SMEM_LIST_BUDGET:
         counts, lists = tile_block_lists(patches, rays_t, BLOCK_P)
     else:
         counts = lists = None  # 2D streaming kernel: no in-kernel loop
@@ -867,9 +876,11 @@ def pack_winner_tables(patches: BezierPatches):
     return base, tuple(base[nb[:, s]] for s in range(3))
 
 
-def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, n0_ref, n1_ref,
-                   n2_ref, dist_ref, idx_ref):
-    """One invocation per 128-ray tile; all four tables VMEM-resident.
+def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
+                   dist_ref, idx_ref):
+    """One invocation per 128-ray tile; the base table t0 [Pp, W] and the
+    stacked permuted tables tn = concat(T_0, T_1, T_2) [3*Pp, W] are all
+    VMEM-resident.
 
     Candidate multiset per ray (identical to select_candidates'):
       * direct:  patch q with gate-ON what == cIntersect -> (dist[q], q)
@@ -881,9 +892,15 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, n0_ref, n1_ref,
     Winner = min distance; ties keep the earliest accumulation (same
     candidate reappearing — direct + voted, or two voters — carries the same
     (dist, q) pair, so the winner is order-independent).
+
+    The vote pass is a fori_loop over sides with a DYNAMIC table offset
+    (s * Pp + off) rather than three unrolled bodies: _sweep_tile is
+    instantiated twice total (direct + vote), halving Mosaic code size and
+    compile time vs the per-side-unrolled form.
     """
     i = pl.program_id(0)
     nb = counts_ref[i]
+    Pp = t0_ref.shape[0]
     rays = rays_ref[:]                    # [8, TILE_R]
     sx, sy, sz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
@@ -923,12 +940,12 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, n0_ref, n1_ref,
             acc(jnp.where(what_on == _WHAT_INTERSECT, dist, _BIG_F),
                 row(_ROW_SELF_ID))
 
-            for s, tref in ((0, n0_ref), (1, n1_ref), (2, n2_ref)):
+            def vote_body(s, carry2):
                 mask_s = what_on == s
 
                 @pl.when(jnp.any(mask_s))
-                def _vote(tref=tref, mask_s=mask_s):
-                    ptn = tref[pl.ds(off, BLOCK_P), :]
+                def _vote():
+                    ptn = tn_ref[pl.ds(s * Pp + off, BLOCK_P), :]
 
                     def rown(j):
                         return ptn[:, j:j + 1]
@@ -939,13 +956,17 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, n0_ref, n1_ref,
                     acc(jnp.where(mask_s & hit2 & nb_sphere, dist2, _BIG_F),
                         rown(_ROW_SELF_ID))
 
+                return carry2
+
+            jax.lax.fori_loop(0, 3, vote_body, 0)
+
         return carry
 
     jax.lax.fori_loop(0, nb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _winner_call(counts, lists, rays, t0, n0, n1, n2, interpret: bool):
+def _winner_call(counts, lists, rays, t0, tn, interpret: bool):
     Rp = rays.shape[1]
     Pp = t0.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -955,15 +976,16 @@ def _winner_call(counts, lists, rays, t0, n0, n1, n2, interpret: bool):
         bytes_accessed=16 * Rp + 4 * 4 * _N_ROWS_W * Pp,
         transcendentals=20 * Rp * Pp,
     )
-    table_spec = pl.BlockSpec((Pp, _N_ROWS_W), lambda i, *_: (0, 0),
-                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # counts [T], lists [B, T]
         grid=(Rp // TILE_R,),
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            table_spec, table_spec, table_spec, table_spec,
+            pl.BlockSpec((Pp, _N_ROWS_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * Pp, _N_ROWS_W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, TILE_R), lambda i, *_: (0, i),
@@ -981,7 +1003,7 @@ def _winner_call(counts, lists, rays, t0, n0, n1, n2, interpret: bool):
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(counts, lists, rays, t0, n0, n1, n2)
+    )(counts, lists, rays, t0, tn)
 
 
 def sweep_winner_pallas(patches: BezierPatches, start, direction,
@@ -1017,11 +1039,12 @@ def sweep_winner_pallas(patches: BezierPatches, start, direction,
         best_d = best_i = None
         for c in range(n_chunks):
             c0 = c * _WINNER_MAX_P
-            tabs = [pad_chunk(t, c0) for t in (base,) + perms]
-            center = tabs[0][:, _ROW_BSPHERE:_ROW_BSPHERE + 3]
-            radius = tabs[0][:, _ROW_BSPHERE + 3]
+            t0 = pad_chunk(base, c0)
+            tn = jnp.concatenate([pad_chunk(t, c0) for t in perms], axis=0)
+            center = t0[:, _ROW_BSPHERE:_ROW_BSPHERE + 3]
+            radius = t0[:, _ROW_BSPHERE + 3]
             counts, lists = _tile_lists_cr(center, radius, rays_c)
-            d8, i8 = _winner_call(counts, lists, rays_c, *tabs, interpret)
+            d8, i8 = _winner_call(counts, lists, rays_c, t0, tn, interpret)
             d, i = d8[0], i8[0]
             if best_d is None:
                 best_d, best_i = d, i

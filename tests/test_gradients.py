@@ -36,10 +36,25 @@ RES = 24
 
 
 # BASELINE config 4 as written: "ellipsoid + robot scenes" — robot is where
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
 # follow-side retries and TIR paths concentrate (the free-form fixture,
 # reference/test.cpp:473-494); the sphere is the analytically-anchored case.
 @pytest.fixture(scope="module", params=["sphere", "ellipsoid", "robot"])
-def setup(request):
+def setup(request, monkeypatch_module):
+    # Pin these fixtures to the NumPy preprocess: the FD stencils and their
+    # 5% per-coordinate bars were tuned on that exact weld, and the native
+    # runtime's (equivalent-to-1e-6) fixture shift moves individual chaotic
+    # coordinates across the bar.  AD-vs-FD agreement is a property of the
+    # differentiable pipeline, not of which welder built the fixture.
+    monkeypatch_module.setenv("CBTR_NATIVE", "0")
     if request.param == "sphere":
         scene = sphere_lens_scene(res=RES, sectors=9, belts=4)
     elif request.param == "ellipsoid":

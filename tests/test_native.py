@@ -85,3 +85,30 @@ def test_native_patches_trace_identically():
     np.testing.assert_allclose(
         np.asarray(a.point)[hit], np.asarray(b.point)[hit], atol=1e-4
     )
+
+
+def test_preprocess_defaults_to_native_and_matches_numpy():
+    """harness.preprocess routes onto the native runtime by default (the
+    scenes pipeline inherits this); results must match the NumPy oracle and
+    populate the per-vertex view the visualizers read."""
+    tris = make_unit_sphere(7, 3).tris
+    m_native = preprocess(TriMesh(tris.copy()))
+    assert m_native.corner_average_normals is not None, "native path not taken"
+    m_numpy = preprocess(TriMesh(tris.copy()), use_native=False)
+    assert m_numpy.corner_average_normals is None
+    a = m_native.device_arrays()
+    b = m_numpy.device_arrays()
+    np.testing.assert_allclose(a["tris"], b["tris"], atol=1e-6)
+    np.testing.assert_array_equal(a["fellow_triangles"], b["fellow_triangles"])
+    np.testing.assert_array_equal(
+        a["fellow_common_side_starts"], b["fellow_common_side_starts"]
+    )
+    np.testing.assert_allclose(
+        a["corner_average_normals"], b["corner_average_normals"], atol=1e-5
+    )
+    # per-vertex view consistent with the corner view
+    assert m_native.vertices is not None
+    np.testing.assert_allclose(
+        m_native.vertex_average_normals[m_native.face2vertex],
+        m_native.corner_average_normals, atol=0,
+    )

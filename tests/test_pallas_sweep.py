@@ -128,6 +128,25 @@ def test_fused_select_pad_and_miss_rays(scene):
     assert (np.asarray(win)[a] < scene.num_patches).all()
 
 
+def test_sweep_smem_overflow_falls_back_to_streaming(scene, rays, monkeypatch):
+    """When the scalar-prefetch lists would blow the SMEM budget,
+    sweep_codes_pallas degrades to the 2D streaming grid instead of dying
+    in a Mosaic OOM — identical codes/distances."""
+    import cbtr_tpu.ops.pallas_sweep as PS
+
+    start, d = rays
+    code_a, dist_a = sweep_codes_pallas(scene, start, d, interpret=True)
+    monkeypatch.setattr(PS, "_SMEM_LIST_BUDGET", 0)  # every list 'overflows'
+    PS._sweep_call._clear_cache()
+    code_b, dist_b = sweep_codes_pallas(scene, start, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(code_a), np.asarray(code_b))
+    hit = np.asarray((code_a & 7) == WHAT_INTERSECT)
+    np.testing.assert_allclose(
+        np.asarray(dist_a)[hit], np.asarray(dist_b)[hit], rtol=1e-5, atol=1e-6
+    )
+    PS._sweep_call._clear_cache()
+
+
 def test_winner_kernel_matches_staged_select(scene, rays):
     """The winner kernel (in-kernel running argmin + voter-side retry via
     permuted neighbour tables) must return the same winner as the staged
