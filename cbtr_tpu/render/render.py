@@ -152,6 +152,25 @@ def render_emitter_image(patches, refractive_index, emitter, n_rays: int,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("emitter", "resolution", "chunk_size")
+)
+def render_emitter_image_device(patches, refractive_index, emitter,
+                                screen_plane, extent: float = 4.0,
+                                resolution: int = 128, chunk_size: int = 0):
+    """Point-source render with rays synthesized ON DEVICE, pre-sorted by
+    the belt/patch bin (emitters.DeviceEmitter) — no host sampling, no host
+    argsort, no ray upload.  The per-ray unbiasing weights ride the splat's
+    weight input.  emitter is jit-static (a hashable NamedTuple)."""
+    idx = jnp.arange(emitter.n_rays, dtype=jnp.int32)
+    s, d, w = emitter.rays_at(idx)
+    return render_lens_image(
+        patches, refractive_index, s, d, screen_plane,
+        extent=extent, resolution=resolution, chunk_size=chunk_size,
+        weights=w,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
 def render_surface_normals(patches, start, direction, light_dir,
                            chunk_size: int = 0):
