@@ -320,8 +320,11 @@ def main() -> None:
             if _use_pallas():
                 hp = intersect_rays(scn.patches, sl[:sample], dl[:sample],
                                     backend="pallas")
+                # the XLA oracle materializes [R, P, 3, 10] control-point
+                # intermediates — 7.4 GB at (4096, 16200) — so chunk its ray
+                # axis to keep the cross-check inside the 16 GB HBM
                 hx = intersect_rays(scn.patches, sl[:sample], dl[:sample],
-                                    backend="xla")
+                                    chunk_size=512, backend="xla")
                 wp, wx = np.asarray(hp.what), np.asarray(hx.what)
                 agree_l = wp == wx
                 bt = agree_l & (wp == 4)

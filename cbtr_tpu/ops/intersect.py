@@ -501,8 +501,18 @@ def intersect_rays(patches: BezierPatches, start, direction,
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         s = s.reshape(-1, chunk_size, 3)
         d = d.reshape(-1, chunk_size, 3)
+        # Rematerialize each chunk: without this, differentiating through the
+        # scan stacks every chunk's recompute/Newton residuals — ~6 GB per
+        # 1M-ray chunk, 101 GB total for a 16.8M-ray train step (measured
+        # OOM).  With remat the scan saves only the chunk inputs and the
+        # backward re-runs the O(rays) winner recompute (~10 ms per 1M-ray
+        # chunk, noise next to the sweep).  The unchunked path keeps full
+        # residuals — at <= 1M rays they fit easily and skip the re-run.
+        chunk_fn = jax.checkpoint(
+            lambda p, sc, dc: _intersect_chunk(p, sc, dc, backend)
+        )
         hits = jax.lax.map(
-            lambda sd: _intersect_chunk(patches, sd[0], sd[1], backend), (s, d)
+            lambda sd: chunk_fn(patches, sd[0], sd[1]), (s, d)
         )
         hit = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:R], hits

@@ -62,6 +62,24 @@ TILE_R = 128
 # (skip rates 8->76%, 16->67%, 32->61%) the total-time optimum is ~32.
 BLOCK_P = 32
 
+# block sizes of the two production kernels' candidate lists, tuned on
+# hardware per path.  With the scalar-prefetch lists the old "all-skip
+# floor" is gone, so the tradeoff is listed-block loop overhead vs cull
+# granularity: a host replay of the sphere cull on the refined robot shows
+# executed pairs drop 42% -> 31% -> 25% at 32 -> 16 -> 8, but the 2x loop
+# trips at 8 eat the extra skips.  Measured on v5e, 65536 rays:
+#   fused  P=450   32/16/8 = 12.67 / 12.11 / 13.23 ms
+#   winner P=1800  32/16/8 = 36.83 / 33.12 / 39.63 ms
+#   winner P=7200  32/16/8 = 35.25 / 34.65 / 42.94 ms
+# -> 16 is the optimum for both paths.  (A front-to-back early-exit
+# variant — lists sorted by sphere-entry distance, in-kernel stop once
+# every ray's best beats the next entry — was built and measured SLOWER at
+# every shape: 14.34 / 37.80 / 42.55 ms at block 16.  The per-block
+# vector->scalar max + SMEM done-flag serializes the loop, and any tile
+# containing a ray that never finds a hit can never exit.  Rejected.)
+FUSED_BLOCK_P = 16
+WINNER_BLOCK_P = 16
+
 
 def _fast_recip(x):
     """Approximate reciprocal: exponent-negation bit trick + 2 Newton
@@ -381,8 +399,9 @@ def patch_spheres(patches: BezierPatches):
     return center, radius
 
 
-def block_spheres(patches: BezierPatches, pad_to: int):
-    """Merged bounding sphere per BLOCK_P-patch block of the padded table:
+def block_spheres(patches: BezierPatches, pad_to: int,
+                  block_p: int = BLOCK_P):
+    """Merged bounding sphere per block_p-patch block of the padded table:
     (center [B,3], radius [B]) with radius < 0 for all-padding blocks.
 
     These drive the host-side candidate-block lists of the fused kernel: a
@@ -395,16 +414,16 @@ def block_spheres(patches: BezierPatches, pad_to: int):
     P = patches.num_patches
     P_pad = P + (-P) % pad_to
     n_real = jnp.minimum(
-        jnp.maximum(P - jnp.arange(0, P_pad, BLOCK_P), 0), BLOCK_P
+        jnp.maximum(P - jnp.arange(0, P_pad, block_p), 0), block_p
     )  # real patches per block [B]
     pad_n = P_pad - P
     center = jnp.pad(center, ((0, pad_n), (0, 0)))
     radius = jnp.pad(radius, ((0, pad_n),))
-    cb = center.reshape(-1, BLOCK_P, 3)
-    rb = radius.reshape(-1, BLOCK_P)
+    cb = center.reshape(-1, block_p, 3)
+    rb = radius.reshape(-1, block_p)
     real = (
-        jnp.arange(BLOCK_P)[None, :] < n_real[:, None]
-    )  # [B, BLOCK_P]
+        jnp.arange(block_p)[None, :] < n_real[:, None]
+    )  # [B, block_p]
     denom = jnp.maximum(n_real, 1).astype(jnp.float32)
     c = jnp.sum(jnp.where(real[..., None], cb, 0.0), axis=1) / denom[:, None]
     reach = jnp.linalg.norm(cb - c[:, None, :], axis=-1) + rb
@@ -412,7 +431,8 @@ def block_spheres(patches: BezierPatches, pad_to: int):
     return c, r
 
 
-def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
+def tile_block_lists(patches: BezierPatches, rays, pad_to: int,
+                     block_p: int = BLOCK_P):
     """Per-128-ray-tile candidate block lists for the fused kernel.
 
     rays [8, R_pad] (the kernel's transposed layout).  Returns
@@ -423,7 +443,7 @@ def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
     minor dimension to 128 lanes: [T, B] would burn T*512 bytes of the 1 MB
     SMEM budget (OOM at T=2048, i.e. one 262144-ray call), [B, T] only
     B*max(T,128)*4."""
-    c, r = block_spheres(patches, pad_to)             # [B,3], [B]
+    c, r = block_spheres(patches, pad_to, block_p)    # [B,3], [B]
     s = rays[0:3, :].T                                # [R_pad, 3]
     d = rays[3:6, :].T
     rel = c[None, :, :] - s[:, None, :]               # [R_pad, B, 3]
@@ -438,13 +458,13 @@ def tile_block_lists(patches: BezierPatches, rays, pad_to: int):
     return counts, lists.T
 
 
-def _block_spheres_cr(center, radius):
+def _block_spheres_cr(center, radius, block_p: int = BLOCK_P):
     """block_spheres from per-patch (center [Pp,3], radius [Pp]) arrays whose
-    row count is already a BLOCK_P multiple; padding rows are marked by
+    row count is already a block_p multiple; padding rows are marked by
     radius <= 0 (packed tables pad with zeros).  Returns ([B,3], [B]) with
     radius < 0 for all-padding blocks."""
-    cb = center.reshape(-1, BLOCK_P, 3)
-    rb = radius.reshape(-1, BLOCK_P)
+    cb = center.reshape(-1, block_p, 3)
+    rb = radius.reshape(-1, block_p)
     real = rb > 0.0
     n_real = jnp.sum(real, axis=1)
     denom = jnp.maximum(n_real, 1).astype(jnp.float32)
@@ -454,10 +474,10 @@ def _block_spheres_cr(center, radius):
     return c, r
 
 
-def _tile_lists_cr(center, radius, rays_t):
+def _tile_lists_cr(center, radius, rays_t, block_p: int = BLOCK_P):
     """tile_block_lists from per-patch sphere arrays (see _block_spheres_cr);
     rays_t [8, R_pad].  Returns (counts [T] i32, lists [B, T] i32)."""
-    c, r = _block_spheres_cr(center, radius)
+    c, r = _block_spheres_cr(center, radius, block_p)
     s = rays_t[0:3, :].T
     d = rays_t[3:6, :].T
     rel = c[None, :, :] - s[:, None, :]
@@ -533,7 +553,8 @@ _BIG_F = 3.4e38  # miss sentinel (matches ops.intersect._BIG)
 
 
 def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
-                         dist_out_ref, idx_out_ref, code_scr, dist_scr):
+                         dist_out_ref, idx_out_ref, code_scr, dist_scr,
+                         *, block_p: int = BLOCK_P):
     """FUSED sweep + select: one invocation per 128-ray tile.
 
     Replaces the materialize-[R,P]-then-select pipeline for P <= _FUSED_MAX_P:
@@ -570,8 +591,8 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
         dist_scr[:] = jnp.zeros(dist_scr.shape, jnp.float32)
 
         def body(k, carry):
-            off = lists_ref[k, i] * BLOCK_P
-            pt = patch_ref[pl.ds(off, BLOCK_P), :]
+            off = lists_ref[k, i] * block_p
+            pt = patch_ref[pl.ds(off, block_p), :]
 
             def row(j):
                 return pt[:, j:j + 1]
@@ -581,8 +602,8 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
             @pl.when(jnp.any(sphere_hit))
             def _compute():
                 code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
-                code_scr[pl.ds(off, BLOCK_P), :] = code
-                dist_scr[pl.ds(off, BLOCK_P), :] = dist
+                code_scr[pl.ds(off, block_p), :] = code
+                dist_scr[pl.ds(off, block_p), :] = dist
 
             return carry
 
@@ -615,8 +636,9 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
         idx_out_ref[:] = jnp.broadcast_to(idx, idx_out_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_p"))
+def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool,
+                       block_p: int = BLOCK_P):
     Rp = rays.shape[1]
     Pp = patch_t.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -648,7 +670,7 @@ def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool):
         ],
     )
     return pl.pallas_call(
-        _sweep_select_kernel,
+        functools.partial(_sweep_select_kernel, block_p=block_p),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -660,7 +682,8 @@ def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool):
 
 
 def sweep_select_pallas(patches: BezierPatches, start, direction,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        block_p: int | None = None):
     """Fused sweep+select: (any_hit [R] bool, win [R] i32, win_dist [R] f32)
     — the winner of reference/bezierMesh.cpp:206-227's scan+retry without
     ever materializing per-pair state in HBM.  P must be <= _FUSED_MAX_P."""
@@ -682,14 +705,16 @@ def sweep_select_pallas(patches: BezierPatches, start, direction,
     )
     pad_rows = jnp.zeros((pad_r, 8), jnp.float32).at[:, 3].set(1.0)
     rays = jnp.concatenate([rays, pad_rows], axis=0) if pad_r else rays
+    if block_p is None:
+        block_p = FUSED_BLOCK_P
     # pad P to a multiple of 128 so the vote matmul's contraction dim tiles
-    # cleanly onto the MXU (and BLOCK_P=32 divides it)
+    # cleanly onto the MXU (and every block size divides it)
     patch_t = pack_patch_table(patches, 128)
     votes = pack_vote_matrix(patches.neighbours, 128)
     rays_t = rays.T
-    counts, lists = tile_block_lists(patches, rays_t, 128)
+    counts, lists = tile_block_lists(patches, rays_t, 128, block_p)
     dist8, idx8 = _sweep_select_call(
-        counts, lists, rays_t, patch_t, votes, bool(interpret)
+        counts, lists, rays_t, patch_t, votes, bool(interpret), block_p
     )
     best = dist8[0, :R]
     win = idx8[0, :R]
@@ -850,15 +875,18 @@ _WINNER_MAX_P = 4096
 _SMEM_LIST_BUDGET = 512 * 1024
 
 
-def safe_ray_cap(num_patches: int) -> int:
+def safe_ray_cap(num_patches: int, block_p: int | None = None) -> int:
     """Largest per-call ray count whose scalar-prefetch block lists fit the
     SMEM budget, for the production kernel that handles `num_patches`
-    (fused at P <= _FUSED_MAX_P, winner-chunked above).  Multiple of TILE_R."""
+    (fused at P <= _FUSED_MAX_P, winner-chunked above).  Multiple of TILE_R.
+    block_p overrides the path's default candidate-block size (tuning)."""
     if num_patches <= _FUSED_MAX_P:
         p_pad = num_patches + (-num_patches) % 128
+        blocks = max(p_pad // (block_p or FUSED_BLOCK_P), 1)
     else:
-        p_pad = min(num_patches + (-num_patches) % BLOCK_P, _WINNER_MAX_P)
-    blocks = max(p_pad // BLOCK_P, 1)
+        # winner chunks pad to their VMEM bucket (see sweep_winner_pallas)
+        p_pad = _WINNER_MAX_P if num_patches > 2048 else 2048
+        blocks = max(p_pad // (block_p or WINNER_BLOCK_P), 1)
     tiles = max(_SMEM_LIST_BUDGET // (4 * blocks), 128)
     return tiles * TILE_R
 
@@ -877,7 +905,7 @@ def pack_winner_tables(patches: BezierPatches):
 
 
 def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
-                   dist_ref, idx_ref):
+                   dist_ref, idx_ref, *, block_p: int = BLOCK_P):
     """One invocation per 128-ray tile; the base table t0 [Pp, W] and the
     stacked permuted tables tn = concat(T_0, T_1, T_2) [3*Pp, W] are all
     VMEM-resident.
@@ -909,7 +937,7 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
     idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
 
     def acc(key, idf):
-        """Fold a candidate tile (key [BLOCK_P, R], idf [BLOCK_P, 1] f32
+        """Fold a candidate tile (key [block_p, R], idf [block_p, 1] f32
         ids) into the running per-ray (best dist, best id)."""
         bm = jnp.min(key, axis=0, keepdims=True)           # [1, R]
         sel = jnp.min(jnp.where(key <= bm, idf, _BIG_F), axis=0, keepdims=True)
@@ -923,8 +951,8 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
         )
 
     def body(k, carry):
-        off = lists_ref[k, i] * BLOCK_P
-        pt = t0_ref[pl.ds(off, BLOCK_P), :]
+        off = lists_ref[k, i] * block_p
+        pt = t0_ref[pl.ds(off, block_p), :]
 
         def row(j):
             return pt[:, j:j + 1]
@@ -945,7 +973,7 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
 
                 @pl.when(jnp.any(mask_s))
                 def _vote():
-                    ptn = tn_ref[pl.ds(s * Pp + off, BLOCK_P), :]
+                    ptn = tn_ref[pl.ds(s * Pp + off, block_p), :]
 
                     def rown(j):
                         return ptn[:, j:j + 1]
@@ -965,8 +993,9 @@ def _winner_kernel(counts_ref, lists_ref, rays_ref, t0_ref, tn_ref,
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _winner_call(counts, lists, rays, t0, tn, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_p"))
+def _winner_call(counts, lists, rays, t0, tn, interpret: bool,
+                 block_p: int = BLOCK_P):
     Rp = rays.shape[1]
     Pp = t0.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -995,7 +1024,7 @@ def _winner_call(counts, lists, rays, t0, tn, interpret: bool):
         ],
     )
     return pl.pallas_call(
-        _winner_kernel,
+        functools.partial(_winner_kernel, block_p=block_p),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -1007,7 +1036,8 @@ def _winner_call(counts, lists, rays, t0, tn, interpret: bool):
 
 
 def sweep_winner_pallas(patches: BezierPatches, start, direction,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        block_p: int | None = None):
     """Per-ray winner of the full scan+retry (reference/bezierMesh.cpp:206-227)
     for ANY patch count: (any_hit [R] bool, win [R] i32, win_dist [R] f32).
 
@@ -1023,6 +1053,8 @@ def sweep_winner_pallas(patches: BezierPatches, start, direction,
         except Exception:  # pragma: no cover
             interpret = True
     interpret = bool(interpret)
+    if block_p is None:
+        block_p = WINNER_BLOCK_P
     R = start.shape[0]
     P = patches.num_patches
     base, perms = pack_winner_tables(patches)
@@ -1043,8 +1075,9 @@ def sweep_winner_pallas(patches: BezierPatches, start, direction,
             tn = jnp.concatenate([pad_chunk(t, c0) for t in perms], axis=0)
             center = t0[:, _ROW_BSPHERE:_ROW_BSPHERE + 3]
             radius = t0[:, _ROW_BSPHERE + 3]
-            counts, lists = _tile_lists_cr(center, radius, rays_c)
-            d8, i8 = _winner_call(counts, lists, rays_c, t0, tn, interpret)
+            counts, lists = _tile_lists_cr(center, radius, rays_c, block_p)
+            d8, i8 = _winner_call(counts, lists, rays_c, t0, tn, interpret,
+                                  block_p)
             d, i = d8[0], i8[0]
             if best_d is None:
                 best_d, best_i = d, i
@@ -1068,7 +1101,7 @@ def sweep_winner_pallas(patches: BezierPatches, start, direction,
     rays_t = rays.T                                    # [8, Rp]
     Rp = rays_t.shape[1]
 
-    cap = safe_ray_cap(P)
+    cap = safe_ray_cap(P, block_p)
     if Rp <= cap:
         best, win = run_rays(rays_t)
     else:

@@ -6,6 +6,7 @@ mesh approximates it to ~1e-3) and the reference's collinearity check
 must stay on its line).
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -126,6 +127,29 @@ def test_chunked_equals_unchunked(sphere_scene):
     np.testing.assert_array_equal(np.asarray(a.what), np.asarray(b.what))
     np.testing.assert_allclose(
         np.asarray(a.point), np.asarray(b.point), atol=1e-6
+    )
+
+
+def test_chunked_gradients_equal_unchunked(sphere_scene):
+    """The chunked path rematerializes each chunk (jax.checkpoint) so huge
+    train steps don't stack per-chunk residuals; remat must not change the
+    gradient values, only when they are computed."""
+    start, d = _rays(48, seed=11)
+    s, dj = jnp.asarray(start), jnp.asarray(d)
+
+    def loss(cp, chunk):
+        p = sphere_scene._replace(control_points=cp)
+        hit = intersect_rays(p, s, dj, chunk_size=chunk)
+        ok = (hit.what == WHAT_INTERSECT).astype(jnp.float32)
+        return jnp.sum(ok * hit.distance)
+
+    g_full = jax.grad(lambda cp: loss(cp, 0))(sphere_scene.control_points)
+    g_chunk = jax.grad(lambda cp: loss(cp, 16))(sphere_scene.control_points)
+    # forward values are bit-identical (test above); gradients differ only
+    # by XLA reassociation in the rematerialized backward (~5e-6 absolute
+    # on O(1) gradients, measured)
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_chunk), rtol=1e-3, atol=2e-5
     )
 
 
