@@ -32,15 +32,24 @@ import time
 import numpy as np
 
 
+def _force(out):
+    """Reliable completion barrier: through the axon tunnel the FIRST
+    block_until_ready after a fresh dispatch can return early (measured
+    1.4 ms for a 4.4 s render); pulling one leaf to host cannot."""
+    import jax
+
+    return np.asarray(jax.tree.leaves(out)[0])
+
+
 def _timeit(fn, iters, *args):
     import jax
 
     out = fn(*args)  # compile + warm
-    jax.block_until_ready(out)
+    _force(out)      # un-awaited warm work must not bleed into the window
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(out)  # not a first dispatch: blocks correctly
     return (time.perf_counter() - t0) / iters
 
 
@@ -97,9 +106,9 @@ def main() -> None:
     start = jnp.asarray(scene.start)
     direction = jnp.asarray(scene.direction)
 
-    # warm-up / compile
+    # warm-up / compile (+ _force: see the barrier note above)
     loss, grads = step(params, start, direction)
-    jax.block_until_ready((loss, grads))
+    _force(loss)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
@@ -415,7 +424,7 @@ def main() -> None:
 
         s_ef, d_ef = emitter_rays(R, belts=16, seed=1)
         loss_ef, grads_ef = step(params, s_ef, d_ef)
-        jax.block_until_ready((loss_ef, grads_ef))
+        _force(loss_ef)
         t_ef = _timeit(step, max(iters // 2, 2), params, s_ef, d_ef)
         gn = float(jnp.linalg.norm(grads_ef.control_points))
         assert np.isfinite(float(loss_ef)) and np.isfinite(gn) and gn > 0
@@ -449,7 +458,9 @@ scene = robot_lens_scene(res=256)
 s = jnp.asarray(scene.start).reshape(-1, 3)
 d = jnp.asarray(scene.direction).reshape(-1, 3)
 fn = jax.jit(lambda s_, d_: sweep_select_pallas(scene.patches, s_, d_))
-out = fn(s, d); jax.block_until_ready(out)
+out = fn(s, d)
+import numpy as _np
+_np.asarray(out[2])  # force: first block_until_ready can return early
 t0 = time.perf_counter()
 for _ in range(5):
     out = fn(s, d)

@@ -68,42 +68,40 @@ def main() -> None:
         return hashlib.sha256(np.asarray(img).tobytes()).hexdigest()[:16]
 
     # ---- device path: synthesis + sort-free, zero host traffic ------------
-    img = render_multihost_emitter(
-        mesh, scene.patches, scene.refractive_index, em, scene.screen_plane,
-        resolution=args.image_res,
-    )
-    jax.block_until_ready(img)          # compile + warm
+    # NB: time through np.asarray, not block_until_ready — on the axon
+    # tunnel the first block_until_ready after a fresh dispatch returns
+    # immediately (measured 1.4 ms for a 4.4 s render); forcing the host
+    # transfer is the only reliable completion barrier, and the checksum
+    # needs the bytes anyway.
+    def dev_render():
+        img = render_multihost_emitter(
+            mesh, scene.patches, scene.refractive_index, em,
+            scene.screen_plane, resolution=args.image_res,
+        )
+        return np.asarray(img)
+
+    dev_render()                        # compile + warm
     t0 = time.perf_counter()
-    img = render_multihost_emitter(
-        mesh, scene.patches, scene.refractive_index, em, scene.screen_plane,
-        resolution=args.image_res,
-    )
-    jax.block_until_ready(img)
+    img = dev_render()
     dt_dev = time.perf_counter() - t0
     c1 = checksum(img)
-    img2 = render_multihost_emitter(
-        mesh, scene.patches, scene.refractive_index, em, scene.screen_plane,
-        resolution=args.image_res,
-    )
-    jax.block_until_ready(img2)
-    c2 = checksum(img2)
+    c2 = checksum(dev_render())
 
     # ---- host path: sample + argsort + upload per call --------------------
     n_host = args.host_path_n or args.n
     hemi = UniformHemisphere(belts=args.belts, seed=7)
-    img_h = render_emitter_image(
-        scene.patches, scene.refractive_index, hemi, n_host,
-        np.asarray(origin, np.float32), scene.screen_plane,
-        resolution=args.image_res,
-    )
-    jax.block_until_ready(img_h)        # compile + warm (fresh rays anyway)
+
+    def host_render():
+        img = render_emitter_image(
+            scene.patches, scene.refractive_index, hemi, n_host,
+            np.asarray(origin, np.float32), scene.screen_plane,
+            resolution=args.image_res,
+        )
+        return np.asarray(img)
+
+    host_render()                       # compile + warm (fresh rays anyway)
     t0 = time.perf_counter()
-    img_h = render_emitter_image(
-        scene.patches, scene.refractive_index, hemi, n_host,
-        np.asarray(origin, np.float32), scene.screen_plane,
-        resolution=args.image_res,
-    )
-    jax.block_until_ready(img_h)
+    img_h = host_render()
     dt_host = time.perf_counter() - t0
 
     # ---- one sharded emitter-fit train step at scale ----------------------
@@ -114,12 +112,11 @@ def main() -> None:
         resolution=args.image_res, learning_rate=1e-4,
     )
     out = step(params)                  # compile + warm
-    jax.block_until_ready(out)
+    np.asarray(out[1])                  # force (see device-path note)
     t0 = time.perf_counter()
     _, loss, grads = step(params)
-    jax.block_until_ready((loss, grads))
-    dt_train = time.perf_counter() - t0
     gn = float(np.linalg.norm(np.asarray(grads.control_points)))
+    dt_train = time.perf_counter() - t0
     assert np.isfinite(float(loss)) and np.isfinite(gn) and gn > 0
 
     flux_dev = float(jnp.sum(img)) / args.n
