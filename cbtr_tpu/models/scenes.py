@@ -34,15 +34,16 @@ ELLIPSOID_BEAM_WIDTH = 3.0  # ... for the ellipsoid/dimpled fixtures
 
 def scene_ortho_grid(res: int, beam_width: float = ROBOT_BEAM_WIDTH):
     """Device-side OrthoGrid matching _finish's host-side ray grid —
-    identical ray layout, synthesized on device (render/camera.py OrthoGrid;
-    used by parallel.multihost.render_multihost_ortho to avoid uploading
-    the global ray array)."""
-    from ..render.camera import OrthoGrid
+    identical ray layout (incl. the 16x8-block tile order when the
+    resolution admits it), synthesized on device (render/camera.py
+    OrthoGrid; used by parallel.multihost.render_multihost_ortho to avoid
+    uploading the global ray array)."""
+    from ..render.camera import OrthoGrid, grid_is_tileable
 
     return OrthoGrid(
         center=(0.0, 0.0, 0.0), direction=(1.0, 0.0, 0.0),
         up=(0.0, 0.0, 1.0), width=beam_width, height=beam_width,
-        res_x=res, res_y=res,
+        res_x=res, res_y=res, tiled=grid_is_tileable(res, res),
     )
 
 

@@ -32,10 +32,42 @@ def angle_sweep_rays(degrees_v: float, degrees_w: float, count_v: int, count_w: 
     return start, d
 
 
+def grid_is_tileable(res_x: int, res_y: int) -> bool:
+    """True when the grid admits the 16x8-pixel-block ray layout."""
+    return res_x % 16 == 0 and res_y % 8 == 0
+
+
+def grid_index_map(i, res_x: int, res_y: int, tiled: bool):
+    """Flat ray index -> (ix, iy) pixel coordinates.
+
+    tiled=True lays rays out so each 128-ray sweep tile covers a COMPACT
+    16x8 pixel block instead of a quarter-row strip: the tile's beam
+    cross-section shrinks ~4x, so the kernel's per-tile bounding-sphere
+    cull skips far more candidate blocks (host replay on the robot lens:
+    executed (tile x 16-patch-block) pairs 0.44 -> 0.23 at 256^2,
+    0.32 -> 0.23 at 512^2).  The bilinear splat is order-invariant, so
+    scenes can adopt the layout with no unsort anywhere.  Works for np and
+    jnp index arrays (pure integer arithmetic, closed-form per index —
+    sharded device synthesis stays index-local)."""
+    if tiled:
+        nby = res_y // 8
+        t, w = i // 128, i % 128
+        ix = (t // nby) * 16 + (w // 8)
+        iy = (t % nby) * 8 + (w % 8)
+        return ix, iy
+    return i // res_y, i % res_y
+
+
 def ortho_ray_grid(center, direction, up, width: float, height: float,
-                   res_x: int, res_y: int):
+                   res_x: int, res_y: int, tiled: bool | None = None):
     """Parallel beam: res_x x res_y rays on a width x height rectangle
-    centered at `center`, all travelling along `direction`."""
+    centered at `center`, all travelling along `direction`.
+
+    tiled=None (default) auto-selects the 16x8-block ray layout when the
+    resolution admits it (see grid_index_map) — same ray multiset, tile-
+    coherent order."""
+    if tiled is None:
+        tiled = grid_is_tileable(res_x, res_y)
     center = np.asarray(center, np.float32)
     d = np.asarray(direction, np.float32)
     d = d / np.linalg.norm(d)
@@ -44,14 +76,15 @@ def ortho_ray_grid(center, direction, up, width: float, height: float,
     right /= np.linalg.norm(right)
     v_up = np.cross(right, d)
 
-    xs = (np.arange(res_x, dtype=np.float32) + 0.5) / res_x - 0.5
-    ys = (np.arange(res_y, dtype=np.float32) + 0.5) / res_y - 0.5
-    gx, gy = np.meshgrid(xs * width, ys * height, indexing="ij")
+    i = np.arange(res_x * res_y)
+    ix, iy = grid_index_map(i, res_x, res_y, tiled)
+    gx = ((ix.astype(np.float32) + 0.5) / res_x - 0.5) * width
+    gy = ((iy.astype(np.float32) + 0.5) / res_y - 0.5) * height
     start = (
-        center[None, None]
-        + gx[..., None] * right[None, None]
-        + gy[..., None] * v_up[None, None]
-    ).reshape(-1, 3)
+        center[None]
+        + gx[:, None] * right[None]
+        + gy[:, None] * v_up[None]
+    )
     dirs = np.broadcast_to(d, start.shape)
     return start.astype(np.float32), np.ascontiguousarray(dirs, np.float32)
 
@@ -72,6 +105,7 @@ class OrthoGrid(NamedTuple):
     height: float
     res_x: int
     res_y: int
+    tiled: bool = False  # 16x8-block ray layout (must match the host grid)
 
     @property
     def n_rays(self) -> int:
@@ -79,7 +113,7 @@ class OrthoGrid(NamedTuple):
 
     def rays_at(self, idx):
         """(start [N,3], direction [N,3]) f32 for flat grid indices idx [N]
-        (row-major over the grid, matching ortho_ray_grid's layout)."""
+        (matching ortho_ray_grid's layout for the same `tiled` setting)."""
         import jax.numpy as jnp
 
         c = jnp.asarray(self.center, jnp.float32)
@@ -89,8 +123,9 @@ class OrthoGrid(NamedTuple):
         right = jnp.cross(d, up)
         right = right / jnp.linalg.norm(right)
         v_up = jnp.cross(right, d)
-        ix = (idx // self.res_y).astype(jnp.float32)
-        iy = (idx % self.res_y).astype(jnp.float32)
+        ixi, iyi = grid_index_map(idx, self.res_x, self.res_y, self.tiled)
+        ix = ixi.astype(jnp.float32)
+        iy = iyi.astype(jnp.float32)
         gx = ((ix + 0.5) / self.res_x - 0.5) * self.width
         gy = ((iy + 0.5) / self.res_y - 0.5) * self.height
         start = c[None, :] + gx[:, None] * right[None, :] + gy[:, None] * v_up[None, :]

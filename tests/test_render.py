@@ -207,3 +207,31 @@ def test_render_emitter_image_sorted_matches_unsorted():
     np.testing.assert_allclose(
         float(jnp.sum(img)), float(jnp.sum(ref)), rtol=1e-4
     )
+
+
+def test_tiled_grid_same_multiset_and_device_parity():
+    """The 16x8-block ray layout (render/camera.py grid_index_map) must be
+    a permutation of the row-major grid (same ray multiset -> identical
+    order-invariant splats) and OrthoGrid.rays_at must reproduce the host
+    grid bit-for-bit in tiled mode."""
+    import jax.numpy as jnp
+    from cbtr_tpu.render.camera import OrthoGrid, grid_is_tileable
+
+    args = ((0, 0, 0), (1, 0, 0), (0, 0, 1), 2.0, 1.5, 32, 16)
+    s_t, d_t = ortho_ray_grid(*args)            # auto: tiled (32%16, 16%8)
+    s_r, d_r = ortho_ray_grid(*args, tiled=False)
+    assert grid_is_tileable(32, 16)
+    # same multiset of rays
+    key = lambda a: np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    np.testing.assert_array_equal(s_t[key(s_t)], s_r[key(s_r)])
+    # each 128-ray tile spans exactly a 16x8 pixel block (coherence)
+    xs = np.unique(s_t[:128, 1]).size
+    zs = np.unique(s_t[:128, 2]).size
+    assert (xs, zs) in ((16, 8), (8, 16))
+    # device synthesis matches the host grid exactly
+    grid = OrthoGrid(center=(0.0, 0.0, 0.0), direction=(1.0, 0.0, 0.0),
+                     up=(0.0, 0.0, 1.0), width=2.0, height=1.5,
+                     res_x=32, res_y=16, tiled=True)
+    s_dev, d_dev = grid.rays_at(jnp.arange(grid.n_rays, dtype=jnp.int32))
+    np.testing.assert_array_equal(np.asarray(s_dev), s_t)
+    np.testing.assert_array_equal(np.asarray(d_dev), d_t)
