@@ -122,7 +122,11 @@ def main() -> None:
     ap.add_argument("--procs", type=int, default=0)
     ap.add_argument("--res", type=int, default=4096)
     ap.add_argument("--image-res", type=int, default=1024)
-    ap.add_argument("--chunk", type=int, default=1048576)
+    # 0 = let intersect_rays auto-chunk at pallas_sweep.safe_ray_cap (a
+    # hand-picked chunk can overflow the scalar-prefetch SMEM budget when
+    # the kernel block size changes — 1M rays x 32 blocks OOMed at 1.03M
+    # of the 1.00M SMEM after the block-16 tuning)
+    ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(REPO, "RENDER4K_r03.json"))
     args = ap.parse_args()
     if args.tpu:

@@ -441,12 +441,9 @@ def _use_pallas() -> bool:
     return platform in ("tpu", "axon")
 
 
-def _intersect_chunk(patches: BezierPatches, start, direction,
-                     backend: str = "auto"):
-    """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
-    if backend == "auto":
-        backend = "pallas" if _use_pallas() else "xla"
-    # stages 1+2: sweep + select (no gradients — selection is discrete)
+def _winner_chunk(patches: BezierPatches, start, direction, backend: str):
+    """Stages 1+2 (sweep + select) for a chunk of rays — the gradient-free
+    winner search.  Returns (any_hit [R] bool, win [R] i32)."""
     sg = jax.lax.stop_gradient
     p_sg, s_sg, d_sg = sg(patches), sg(start), sg(direction)
     if backend == "pallas":
@@ -459,9 +456,18 @@ def _intersect_chunk(patches: BezierPatches, start, direction,
             # winner kernel: in-kernel running argmin + voter-side retry via
             # permuted neighbour tables; chunks over patches, O(R + P) HBM
             any_hit, win, _ = PS.sweep_winner_pallas(p_sg, s_sg, d_sg)
-        return recompute_winner(patches, start, direction, any_hit, win)
+        return any_hit, win
     code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
     any_hit, win, _ = select_candidates(code, dist, p_sg.neighbours)
+    return any_hit, win
+
+
+def _intersect_chunk(patches: BezierPatches, start, direction,
+                     backend: str = "auto"):
+    """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
+    if backend == "auto":
+        backend = "pallas" if _use_pallas() else "xla"
+    any_hit, win = _winner_chunk(patches, start, direction, backend)
     # stage 3: differentiable winner recompute
     return recompute_winner(patches, start, direction, any_hit, win)
 
@@ -501,19 +507,26 @@ def intersect_rays(patches: BezierPatches, start, direction,
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         s = s.reshape(-1, chunk_size, 3)
         d = d.reshape(-1, chunk_size, 3)
-        # Rematerialize each chunk: without this, differentiating through the
-        # scan stacks every chunk's recompute/Newton residuals — ~6 GB per
-        # 1M-ray chunk, 101 GB total for a 16.8M-ray train step (measured
-        # OOM).  With remat the scan saves only the chunk inputs and the
-        # backward re-runs the O(rays) winner recompute (~10 ms per 1M-ray
-        # chunk, noise next to the sweep).  The unchunked path keeps full
-        # residuals — at <= 1M rays they fit easily and skip the re-run.
-        chunk_fn = jax.checkpoint(
-            lambda p, sc, dc: _intersect_chunk(p, sc, dc, backend)
-        )
-        hits = jax.lax.map(
-            lambda sd: chunk_fn(patches, sd[0], sd[1]), (s, d)
-        )
+        # Rematerialize each chunk's RECOMPUTE stage only: without remat,
+        # differentiating through the scan stacks every chunk's
+        # recompute/Newton residuals — ~6 GB per 1M-ray chunk, 101 GB total
+        # for a 16.8M-ray train step (measured OOM).  The checkpoint
+        # boundary sits BELOW the winner search: the sweep is gradient-free
+        # and its per-chunk outputs are 5 B/ray, so saving (any_hit, win)
+        # and re-running only the O(rays) recompute in backward costs ~10 ms
+        # per 1M-ray chunk — wrapping the whole chunk instead re-ran the
+        # O(rays x patches) sweep in backward, which erased a third of the
+        # TRAIN4K speedup (measured 8.15 s vs 5.95 s for the 16.8M-ray
+        # step, identical loss+grad checksum).  The unchunked path keeps
+        # full residuals — at <= 1M rays they fit easily and skip the
+        # re-run.
+        recompute_ckpt = jax.checkpoint(recompute_winner)
+
+        def map_body(sd):
+            ah, w = _winner_chunk(patches, sd[0], sd[1], backend)
+            return recompute_ckpt(patches, sd[0], sd[1], ah, w)
+
+        hits = jax.lax.map(map_body, (s, d))
         hit = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:R], hits
         )
