@@ -441,9 +441,12 @@ def _use_pallas() -> bool:
     return platform in ("tpu", "axon")
 
 
-def _winner_chunk(patches: BezierPatches, start, direction, backend: str):
+def _winner_chunk(patches: BezierPatches, start, direction, backend: str,
+                  block_p: int | None = None):
     """Stages 1+2 (sweep + select) for a chunk of rays — the gradient-free
-    winner search.  Returns (any_hit [R] bool, win [R] i32)."""
+    winner search.  Returns (any_hit [R] bool, win [R] i32).  block_p
+    overrides the Pallas kernels' candidate-block size (see intersect_rays:
+    a coarser block can double the SMEM-safe ray cap)."""
     sg = jax.lax.stop_gradient
     p_sg, s_sg, d_sg = sg(patches), sg(start), sg(direction)
     if backend == "pallas":
@@ -451,11 +454,13 @@ def _winner_chunk(patches: BezierPatches, start, direction, backend: str):
 
         if patches.num_patches <= PS._FUSED_MAX_P:
             # fused kernel: per-pair state never leaves VMEM (MXU vote select)
-            any_hit, win, _ = PS.sweep_select_pallas(p_sg, s_sg, d_sg)
+            any_hit, win, _ = PS.sweep_select_pallas(p_sg, s_sg, d_sg,
+                                                     block_p=block_p)
         else:
             # winner kernel: in-kernel running argmin + voter-side retry via
             # permuted neighbour tables; chunks over patches, O(R + P) HBM
-            any_hit, win, _ = PS.sweep_winner_pallas(p_sg, s_sg, d_sg)
+            any_hit, win, _ = PS.sweep_winner_pallas(p_sg, s_sg, d_sg,
+                                                     block_p=block_p)
         return any_hit, win
     code, dist = sweep_codes_xla(p_sg, s_sg, d_sg)
     any_hit, win, _ = select_candidates(code, dist, p_sg.neighbours)
@@ -463,11 +468,11 @@ def _winner_chunk(patches: BezierPatches, start, direction, backend: str):
 
 
 def _intersect_chunk(patches: BezierPatches, start, direction,
-                     backend: str = "auto"):
+                     backend: str = "auto", block_p: int | None = None):
     """Full mesh intersection for a chunk of rays. start/direction [R,3]."""
     if backend == "auto":
         backend = "pallas" if _use_pallas() else "xla"
-    any_hit, win = _winner_chunk(patches, start, direction, backend)
+    any_hit, win = _winner_chunk(patches, start, direction, backend, block_p)
     # stage 3: differentiable winner recompute
     return recompute_winner(patches, start, direction, any_hit, win)
 
@@ -494,12 +499,23 @@ def intersect_rays(patches: BezierPatches, start, direction,
 
     if backend == "auto":
         backend = "pallas" if _use_pallas() else "xla"
+    block_p = None
     if not chunk_size and backend == "pallas":
         from . import pallas_sweep as PS
 
         cap = PS.safe_ray_cap(patches.num_patches)
         if R > cap:
-            chunk_size = cap
+            # Before chunking, try a coarser candidate-block size: halving
+            # the block count doubles the SMEM-safe ray cap at ~5% kernel
+            # cost (block 32 vs 16, PERF.md round-4 item 3), which beats
+            # the scan/dispatch overhead of splitting the call — e.g. the
+            # 1024^2 robot render is exactly one block-32 call.
+            for coarser in (32, 64):
+                if R <= PS.safe_ray_cap(patches.num_patches, coarser):
+                    block_p = coarser
+                    break
+            else:
+                chunk_size = cap
 
     if chunk_size and R > chunk_size:
         pad = (-R) % chunk_size
@@ -531,7 +547,7 @@ def intersect_rays(patches: BezierPatches, start, direction,
             lambda x: x.reshape((-1,) + x.shape[2:])[:R], hits
         )
     else:
-        hit = _intersect_chunk(patches, s, d, backend)
+        hit = _intersect_chunk(patches, s, d, backend, block_p)
     return jax.tree.map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), hit
     )
