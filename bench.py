@@ -291,7 +291,9 @@ def main() -> None:
         from cbtr_tpu.harness import preprocess as _pre
         from cbtr_tpu.mesh.core import TriMesh as _TM
 
-        _m = _TM().read("/root/reference/reference/robot.stl")
+        from cbtr_tpu.models.scenes import robot_stl_path as _robot_path
+
+        _m = _TM().read(_robot_path())
         _m = _pre(_m)
         _c = _m.tris.reshape(-1, 3).mean(axis=0)
         _m.translate(-_c)

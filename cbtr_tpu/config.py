@@ -53,12 +53,16 @@ class Config:
     # the flag=False (strict upstream) semantics in a fresh subprocess.
     clamp_secant_estimate: bool = True
 
-    # Opt-in fast-math (not a reference constant; default OFF preserves the
-    # division-exact Newton op mix): replace the ~12 hardware divides per
+    # Opt-in fast-math — a MEASURED NEGATIVE, kept as the record (not a
+    # reference constant; default OFF): replace the ~12 hardware divides per
     # (ray, patch) Newton evaluation in the Pallas sweep kernels with an
     # exponent-negation reciprocal approximation + 2 Newton refinements
-    # (~6e-6 relative error, pure mul/sub VPU ops) — the measured ~1.3x op-
-    # mix headroom PERF.md's roofline names.  The differentiable winner
+    # (~6e-6 relative error, pure mul/sub VPU ops).  Round 3's roofline
+    # ESTIMATED ~1.3x from the op-mix; round 4 measured it at 0.66-0.73x —
+    # SLOWER than the pipelined hardware divide (BENCH_r04 fast_newton row;
+    # PERF.md round-4 item 5: the bit-trick's int-bitcast + 2 refinement
+    # multiplies cost more VPU issue slots than the divide they replace).
+    # Do not enable expecting a speedup.  The differentiable winner
     # recompute stays exact either way; only sweep acceptance/distance can
     # shift by ~1e-5, which the recompute_reject_count guard bounds.
     #

@@ -25,6 +25,22 @@ from ..mesh.core import (
 )
 from ..render.camera import ortho_ray_grid
 
+
+def robot_stl_path() -> str:
+    """Path of the robot.stl fixture (reference/test.cpp:473-494's free-form
+    mesh).  The 7,584-byte binary STL is vendored in-package
+    (cbtr_tpu/data/robot.stl) so the repo is self-contained; the
+    CBTR_ROBOT_STL env var overrides it (e.g. to point at an upstream
+    checkout for byte-identity checks)."""
+    import os
+
+    override = os.environ.get("CBTR_ROBOT_STL", "")
+    if override:
+        return override
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "robot.stl")
+
+
 LENS_CENTER = np.array([5.0, 0.0, 0.0], np.float32)
 SCREEN_X = 10.0
 ROBOT_BEAM_WIDTH = 1.8      # collimated-beam edge for the robot fixture
@@ -111,7 +127,7 @@ def robot_lens_scene(res: int = 128, refractive_index: float = 1.3,
     every triangle k^2-fold first (Mesh::splitTriangles,
     reference/mesh.cpp:389-395) — split=4 gives 7200 patches, the
     large-P streaming-kernel regime)."""
-    path = path or "/root/reference/reference/robot.stl"
+    path = path or robot_stl_path()
     mesh = TriMesh().read(path)
     mesh = preprocess(mesh)
     # normalize to unit-ish scale around origin before lens placement

@@ -56,10 +56,12 @@ _WHAT_INTERSECT = 4
 TILE_P = 8
 TILE_R = 128
 
-# patch-block size of the VMEM-resident kernel's in-kernel loop.  Larger
-# blocks cut loop/branch overhead per patch (the all-skip floor) at the
-# cost of skip granularity; measured on the robot 512x512 bench shape
-# (skip rates 8->76%, 16->67%, 32->61%) the total-time optimum is ~32.
+# LEGACY default block size, retained for the generic helpers'
+# (block_spheres / tile_block_lists / sweep_codes_pallas) signatures.  It
+# was the round-2/3 optimum for the resident kernel WITHOUT scalar-prefetch
+# lists (loop-trip floor vs skip granularity).  The production kernels are
+# tuned separately — use FUSED_BLOCK_P / WINNER_BLOCK_P (= 16, measured
+# below) for anything on the hot path.
 BLOCK_P = 32
 
 # block sizes of the two production kernels' candidate lists, tuned on
@@ -875,18 +877,23 @@ _WINNER_MAX_P = 4096
 _SMEM_LIST_BUDGET = 512 * 1024
 
 
-def safe_ray_cap(num_patches: int, block_p: int | None = None) -> int:
+def safe_ray_cap(num_patches: int, block_p: int | None = None,
+                 kernel: str = "auto") -> int:
     """Largest per-call ray count whose scalar-prefetch block lists fit the
-    SMEM budget, for the production kernel that handles `num_patches`
-    (fused at P <= _FUSED_MAX_P, winner-chunked above).  Multiple of TILE_R.
-    block_p overrides the path's default candidate-block size (tuning)."""
-    if num_patches <= _FUSED_MAX_P:
-        p_pad = num_patches + (-num_patches) % 128
-        blocks = max(p_pad // (block_p or FUSED_BLOCK_P), 1)
-    else:
+    SMEM budget, for the kernel that handles `num_patches`.  Multiple of
+    TILE_R.  kernel="auto" follows the production routing (fused at
+    P <= _FUSED_MAX_P, winner-chunked above); kernel="winner" computes the
+    cap from the winner kernel's actual 2048/4096 padding bucket — required
+    for direct sweep_winner_pallas calls at small P, whose lists are up to
+    4x larger than the fused-path estimate.  block_p overrides the path's
+    default candidate-block size (tuning)."""
+    if kernel == "winner" or (kernel == "auto" and num_patches > _FUSED_MAX_P):
         # winner chunks pad to their VMEM bucket (see sweep_winner_pallas)
         p_pad = _WINNER_MAX_P if num_patches > 2048 else 2048
         blocks = max(p_pad // (block_p or WINNER_BLOCK_P), 1)
+    else:
+        p_pad = num_patches + (-num_patches) % 128
+        blocks = max(p_pad // (block_p or FUSED_BLOCK_P), 1)
     tiles = max(_SMEM_LIST_BUDGET // (4 * blocks), 128)
     return tiles * TILE_R
 
@@ -1101,7 +1108,7 @@ def sweep_winner_pallas(patches: BezierPatches, start, direction,
     rays_t = rays.T                                    # [8, Rp]
     Rp = rays_t.shape[1]
 
-    cap = safe_ray_cap(P, block_p)
+    cap = safe_ray_cap(P, block_p, kernel="winner")
     if Rp <= cap:
         best, win = run_rays(rays_t)
     else:

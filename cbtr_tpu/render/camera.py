@@ -105,11 +105,21 @@ class OrthoGrid(NamedTuple):
     height: float
     res_x: int
     res_y: int
-    tiled: bool = False  # 16x8-block ray layout (must match the host grid)
+    # 16x8-block ray layout.  None (default) resolves via grid_is_tileable —
+    # the same auto-selection ortho_ray_grid(tiled=None) applies — so a
+    # directly-constructed OrthoGrid and the host grid of the same spec can
+    # never desync; pass an explicit bool only to force a layout (it must
+    # then match the host grid's).
+    tiled: bool | None = None
 
     @property
     def n_rays(self) -> int:
         return self.res_x * self.res_y
+
+    def _tiled(self) -> bool:
+        if self.tiled is None:
+            return grid_is_tileable(self.res_x, self.res_y)
+        return self.tiled
 
     def rays_at(self, idx):
         """(start [N,3], direction [N,3]) f32 for flat grid indices idx [N]
@@ -123,7 +133,7 @@ class OrthoGrid(NamedTuple):
         right = jnp.cross(d, up)
         right = right / jnp.linalg.norm(right)
         v_up = jnp.cross(right, d)
-        ixi, iyi = grid_index_map(idx, self.res_x, self.res_y, self.tiled)
+        ixi, iyi = grid_index_map(idx, self.res_x, self.res_y, self._tiled())
         ix = ixi.astype(jnp.float32)
         iy = iyi.astype(jnp.float32)
         gx = ((ix + 0.5) / self.res_x - 0.5) * self.width

@@ -167,7 +167,9 @@ def test_vectorized_refine_emission_matches_scalar_oracle():
     from cbtr_tpu.mesh.stl_io import read_stl
     from cbtr_tpu.bezier import build_from_trimesh
 
-    mesh = preprocess(TriMesh(read_stl("/root/reference/reference/robot.stl")))
+    from cbtr_tpu.models.scenes import robot_stl_path
+
+    mesh = preprocess(TriMesh(read_stl(robot_stl_path())))
     patches = build_from_trimesh(mesh)
     fellow = np.asarray(mesh.fellow_triangles)
     fellow_starts = np.asarray(mesh.fellow_common_side_starts)

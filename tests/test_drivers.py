@@ -18,7 +18,9 @@ from cbtr_tpu.harness.drivers import (
 from cbtr_tpu.models import robot_lens_scene, sphere_lens_scene
 from cbtr_tpu.ops import intersect_rays, WHAT_INTERSECT
 
-ROBOT = "/root/reference/reference/robot.stl"
+from cbtr_tpu.models.scenes import robot_stl_path
+
+ROBOT = robot_stl_path()
 
 
 def test_split_divisor_roundtrip(tmp_path):

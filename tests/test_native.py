@@ -28,7 +28,9 @@ def _numpy_pipeline(tris):
     [
         make_unit_sphere(7, 3).tris,
         make_ellipsoid(15, 5, (1.0, 4.0, 2.0)).tris,
-        stl_io.read_stl("/root/reference/reference/robot.stl"),
+        stl_io.read_stl(__import__(
+            "cbtr_tpu.models.scenes", fromlist=["robot_stl_path"]
+        ).robot_stl_path()),
     ],
     ids=["sphere7x3", "ellipsoid15x5", "robot"],
 )

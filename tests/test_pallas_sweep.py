@@ -199,7 +199,8 @@ def test_winner_kernel_ray_autochunk(scene, monkeypatch):
     start, d = jnp.asarray(start), jnp.asarray(d)
 
     any_a, win_a, key_a = PS.sweep_winner_pallas(scene, start, d, interpret=True)
-    monkeypatch.setattr(PS, "safe_ray_cap", lambda p, bp=None: 128)
+    monkeypatch.setattr(PS, "safe_ray_cap",
+                        lambda p, bp=None, kernel="auto": 128)
     any_b, win_b, key_b = PS.sweep_winner_pallas(scene, start, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(any_a), np.asarray(any_b))
     hit = np.asarray(any_a)
