@@ -41,16 +41,34 @@ def _force(out):
     return np.asarray(jax.tree.leaves(out)[0])
 
 
-def _timeit(fn, iters, *args):
+def _timeit(fn, inner, *args, reps: int = 5):
+    """Median-of-`reps` timing windows, `inner` dispatches per window.
+
+    Single-shot rows proved unable to support claims decided at the 3-5%
+    margin (round-4 verdict: the refined-row >=3M bar was met in one
+    invocation and missed in another, with the +-5-7% tunnel spread
+    captured nowhere), so every timed row now carries
+    {median, min, max, n}.  Returns (median_seconds, stats_dict); the
+    median feeds every derived scalar, the stats ship in the artifact."""
     import jax
 
     out = fn(*args)  # compile + warm
     _force(out)      # un-awaited warm work must not bleed into the window
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)  # not a first dispatch: blocks correctly
-    return (time.perf_counter() - t0) / iters
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        jax.block_until_ready(out)  # not a first dispatch: blocks correctly
+        ts.append((time.perf_counter() - t0) / inner)
+    med = float(np.median(ts))
+    stats = {
+        "median_ms": round(med * 1e3, 3),
+        "min_ms": round(min(ts) * 1e3, 3),
+        "max_ms": round(max(ts) * 1e3, 3),
+        "n": reps,
+    }
+    return med, stats
 
 
 def main() -> None:
@@ -70,6 +88,8 @@ def main() -> None:
     res = args.res or (64 if smoke else 512)
     iters = args.iters or (2 if smoke else 10)
     baseline_rays = args.baseline_rays or (8 if smoke else 64)
+    # timing-window repetitions per row ({median,min,max,n} in the artifact)
+    reps = 2 if smoke else 5
 
     import jax
 
@@ -114,14 +134,19 @@ def main() -> None:
         with jax.profiler.trace(args.trace):
             jax.block_until_ready(step(params, start, direction))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = step(params, start, direction)
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
-    rays_per_s = n_rays * iters / dt
+    t_step, st_step = _timeit(
+        step, max(iters // reps, 1), params, start, direction, reps=reps
+    )
+    rays_per_s = n_rays / t_step
 
     extras = {}
+    # headline spread (rays/s from each window's time)
+    extras["value_stats"] = {
+        "median": round(n_rays / (st_step["median_ms"] * 1e-3), 1),
+        "min": round(n_rays / (st_step["max_ms"] * 1e-3), 1),
+        "max": round(n_rays / (st_step["min_ms"] * 1e-3), 1),
+        "n": st_step["n"],
+    }
 
     # ---- Pallas vs XLA on-device agreement (4k-ray sample) ----------------
     from cbtr_tpu.ops.intersect import (
@@ -161,22 +186,24 @@ def main() -> None:
     P = scene.patches.num_patches
 
     sweep_jit = jax.jit(lambda s, d: sweep_fn(scene.patches, s, d))
-    t_sweep = _timeit(sweep_jit, max(iters, 3), sb, db)
+    t_sweep, st_sweep = _timeit(sweep_jit, 2, sb, db, reps=reps)
     code, dist = sweep_jit(sb, db)
     sel_jit = jax.jit(
         lambda c, di: select_candidates(c, di, scene.patches.neighbours)
     )
-    t_select = _timeit(sel_jit, max(iters, 3), code, dist)
+    t_select, st_select = _timeit(sel_jit, 2, code, dist, reps=reps)
     full_jit = jax.jit(
         lambda s, d: intersect_rays(scene.patches, s, d)
     )
-    t_full = _timeit(full_jit, max(iters, 3), sb, db)
+    t_full, st_full = _timeit(full_jit, 2, sb, db, reps=reps)
     breakdown = {
-        "sweep_staged": round(t_sweep * 1e3, 3),
-        "select_staged": round(t_select * 1e3, 3),
+        "sweep_staged": st_sweep["median_ms"],
+        "select_staged": st_select["median_ms"],
         "rays": R,
         "patches": P,
     }
+    stats = {"sweep_staged": st_sweep, "select_staged": st_select,
+             "full_intersect": st_full}
     if _use_pallas():
         # production path: the FUSED sweep+select kernel (per-pair state
         # never leaves VMEM; select = in-kernel MXU vote matmul)
@@ -185,14 +212,90 @@ def main() -> None:
         fused_jit = jax.jit(
             lambda s, d: sweep_select_pallas(scene.patches, s, d)
         )
-        t_fused = _timeit(fused_jit, max(iters, 3), sb, db)
-        breakdown["fused_sweep_select"] = round(t_fused * 1e3, 3)
+        t_fused, st_fused = _timeit(fused_jit, 2, sb, db, reps=reps)
+        breakdown["fused_sweep_select"] = st_fused["median_ms"]
         breakdown["recompute_rest"] = round(max(t_full - t_fused, 0.0) * 1e3, 3)
+        stats["fused_sweep_select"] = st_fused
     else:
         breakdown["recompute_rest"] = round(
             max(t_full - t_sweep - t_select, 0.0) * 1e3, 3
         )
     extras["breakdown_ms"] = breakdown
+    extras["breakdown_stats"] = stats
+
+    # ---- cull A/B: block-AABB leg on/off (round-5 verdict ask #1) ----------
+    # Executed-(tile x block)-pair fraction straight from the candidate
+    # lists the kernel will actually loop over, plus the fused kernel timed
+    # both ways at the headline shape.  The AABB leg is provably as
+    # conservative as the sphere leg (ops/pallas_sweep._patch_boxes), so
+    # winners are identical; only the list lengths (and wall time) move.
+    if _use_pallas() and not smoke:
+        from cbtr_tpu.ops.pallas_sweep import (
+            FUSED_BLOCK_P,
+            sweep_select_pallas as _ssp,
+            tile_block_lists as _tbl,
+        )
+
+        rays_t8 = jnp.concatenate(
+            [sb, db, jnp.zeros((R, 2), jnp.float32)], axis=-1
+        ).T
+
+        def _exec_frac(use_aabb):
+            counts, lists = jax.jit(
+                lambda rt: _tbl(scene.patches, rt, 128, FUSED_BLOCK_P,
+                                use_aabb)
+            )(rays_t8)
+            n_blocks = (P + FUSED_BLOCK_P - 1) // FUSED_BLOCK_P
+            tiles = rays_t8.shape[1] // 128
+            return float(np.asarray(jnp.sum(counts))) / (tiles * n_blocks)
+
+        fused_off = jax.jit(
+            lambda s, d: _ssp(scene.patches, s, d, use_aabb=False)
+        )
+        _, st_fused_off = _timeit(fused_off, 2, sb, db, reps=reps)
+        extras["cull"] = {
+            "exec_frac_sphere_only": round(_exec_frac(False), 4),
+            "exec_frac_with_aabb": round(_exec_frac(True), 4),
+            "fused_ms_sphere_only": st_fused_off,
+            "fused_ms_with_aabb": stats.get("fused_sweep_select"),
+        }
+
+    # ---- winner kernel at small P vs the fused kernel (verdict ask #3) -----
+    # Same semantics, different machinery: if the winner kernel ties the
+    # fused O(P^2)-vote kernel at P <= 1024 the fused path can be deleted.
+    if _use_pallas() and not smoke:
+        from cbtr_tpu.models import sphere_lens_scene as _sls
+        from cbtr_tpu.ops.pallas_sweep import sweep_winner_pallas as _swp
+
+        rows_wf = {}
+        sph = _sls(res=256, sectors=17, belts=10)  # P = 1020 (fused cap)
+        for tag, scn_w in (("P450_robot", scene), ("P1020_sphere", sph)):
+            sw = jnp.asarray(scn_w.start).reshape(-1, 3)[:R]
+            dw = jnp.asarray(scn_w.direction).reshape(-1, 3)[:R]
+            f_jit = jax.jit(
+                lambda s, d, _p=scn_w.patches: sweep_select_pallas(_p, s, d)
+            )
+            w_jit = jax.jit(
+                lambda s, d, _p=scn_w.patches: _swp(_p, s, d)
+            )
+            _, st_f = _timeit(f_jit, 2, sw, dw, reps=reps)
+            _, st_w = _timeit(w_jit, 2, sw, dw, reps=reps)
+            ah_f, win_f, d_f = f_jit(sw, dw)
+            ah_w, win_w, d_w = w_jit(sw, dw)
+            ah_f, ah_w = np.asarray(ah_f), np.asarray(ah_w)
+            same = (ah_f == ah_w)
+            hit_both = same & ah_f
+            same_win = np.asarray(win_f)[hit_both] == np.asarray(win_w)[hit_both]
+            rows_wf[tag] = {
+                "patches": int(scn_w.patches.num_patches),
+                "fused_ms": st_f,
+                "winner_ms": st_w,
+                "agreement": round(
+                    float((same.sum() - (~same_win).sum()) / same.size), 5
+                ),
+            }
+            assert rows_wf[tag]["agreement"] >= 0.999, rows_wf[tag]
+        extras["winner_vs_fused"] = rows_wf
     # the sweep's own flops model (ops/pallas_sweep.py cost_estimate)
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
     extras["sweep_gflops"] = round(flops_pair * R * P / t_sweep / 1e9, 1)
@@ -206,8 +309,16 @@ def main() -> None:
         _os.path.abspath(__file__)), "benchmarks"))
     from vpu_peak import measure_vpu_peak
 
-    peak = measure_vpu_peak(timing_iters=3 if smoke else 5)
+    # The peak is a DEVICE PROPERTY, but the slope microbenchmark is
+    # CPU-contention-sensitive through the tunnel (r03 recorded 3.895,
+    # r04 2.082 — same chip).  A contended run can only UNDER-measure, so
+    # report max-of-N with the per-run values visible (round-4 verdict,
+    # weak #1).
+    peak_runs = [measure_vpu_peak(timing_iters=3 if smoke else 5)
+                 for _ in range(2 if smoke else 3)]
+    peak = max(peak_runs)
     extras["vpu_peak_tflops"] = round(peak / 1e12, 3)
+    extras["vpu_peak_runs_tflops"] = [round(p / 1e12, 3) for p in peak_runs]
     # effective MFU = cull-credited model FLOPs / measured sustained peak
     # (can exceed 1: the cull skips work the model counts); the *executed*
     # no-cull rate is ~2.0 TFLOP/s (PERF.md roofline section)
@@ -243,10 +354,11 @@ def main() -> None:
             )
 
         step_big = jax.jit(jax.value_and_grad(loss_big))
-        t_big = _timeit(step_big, max(iters // 2, 2), pb, sb_, db_)
+        t_big, st_big = _timeit(step_big, 1, pb, sb_, db_, reps=reps)
         extras[f"robot_{args.big_res}"] = {
             "rays": int(sb_.shape[0]),
             "rays_per_s": round(sb_.shape[0] / t_big, 1),
+            "stats_ms": st_big,
         }
 
         ell = ellipsoid_lens_scene(res=args.ell_res, sectors=15, belts=5)
@@ -260,11 +372,12 @@ def main() -> None:
             )
 
         step_ell = jax.jit(jax.value_and_grad(loss_ell))
-        t_ell = _timeit(step_ell, max(iters // 2, 2), pe, se, de)
+        t_ell, st_ell = _timeit(step_ell, 1, pe, se, de, reps=reps)
         extras[f"ellipsoid_{args.ell_res}"] = {
             "rays": int(se.shape[0]),
             "patches": int(ell.patches.num_patches),
             "rays_per_s": round(se.shape[0] / t_ell, 1),
+            "stats_ms": st_ell,
         }
 
         # ---- large-P rows on hardware ------------------------------------
@@ -322,12 +435,27 @@ def main() -> None:
             big_jit = jax.jit(
                 lambda s, d, _p=scn.patches: intersect_rays(_p, s, d)
             )
-            t_l = _timeit(big_jit, max(iters // 2, 2), sl, dl)
+            t_l, st_l = _timeit(big_jit, 1, sl, dl, reps=reps)
             row = {
                 "rays": int(sl.shape[0]),
                 "patches": int(scn.patches.num_patches),
                 "intersect_rays_per_s": round(sl.shape[0] / t_l, 1),
+                "stats_ms": st_l,
             }
+            if _use_pallas():
+                # cull A/B on the winner kernel (the production path at
+                # these patch counts): block-AABB leg on vs off
+                from cbtr_tpu.ops.pallas_sweep import (
+                    sweep_winner_pallas as _swp2,
+                )
+
+                for tag_ab, aabb in (("winner_ms_sphere_only", False),
+                                     ("winner_ms_with_aabb", True)):
+                    wj = jax.jit(
+                        lambda s, d, _p=scn.patches, _a=aabb:
+                        _swp2(_p, s, d, use_aabb=_a)
+                    )
+                    _, row[tag_ab] = _timeit(wj, 1, sl, dl, reps=reps)
             if _use_pallas():
                 hp = intersect_rays(scn.patches, sl[:sample], dl[:sample],
                                     backend="pallas")
@@ -383,10 +511,11 @@ def main() -> None:
         sorted_jit = jax.jit(
             lambda s, d: intersect_rays_sorted(scene.patches, s, d)
         )
-        t_shuf = _timeit(full_jit, max(iters, 3), jnp.asarray(s_sh),
-                         jnp.asarray(d_sh))
-        t_shuf_sorted = _timeit(sorted_jit, max(iters, 3), jnp.asarray(s_sh),
-                                jnp.asarray(d_sh))
+        t_shuf, st_shuf = _timeit(full_jit, 2, jnp.asarray(s_sh),
+                                  jnp.asarray(d_sh), reps=reps)
+        t_shuf_sorted, st_shuf_sorted = _timeit(
+            sorted_jit, 2, jnp.asarray(s_sh), jnp.asarray(d_sh), reps=reps
+        )
         morton_order = np.argsort(
             np.asarray(coherence_keys(s_sh, d_sh)), kind="stable"
         )
@@ -395,17 +524,18 @@ def main() -> None:
         d_em, patch_em = em.sample(R)
         s_em = np.zeros((R, 3), np.float32)
         order = np.argsort(patch_em, kind="stable")
-        t_em = _timeit(full_jit, max(iters, 3), jnp.asarray(s_em),
-                       jnp.asarray(d_em))
-        t_em_sorted = _timeit(full_jit, max(iters, 3),
-                              jnp.asarray(s_em[order]),
-                              jnp.asarray(d_em[order]))
+        t_em, st_em = _timeit(full_jit, 2, jnp.asarray(s_em),
+                              jnp.asarray(d_em), reps=reps)
+        t_em_sorted, st_em_sorted = _timeit(full_jit, 2,
+                                            jnp.asarray(s_em[order]),
+                                            jnp.asarray(d_em[order]),
+                                            reps=reps)
         extras["ray_sort"] = {
-            "ortho_ms": round(t_full * 1e3, 3),
-            "shuffled_ms": round(t_shuf * 1e3, 3),
-            "shuffled_sorted_ms": round(t_shuf_sorted * 1e3, 3),
-            "emitter_ms": round(t_em * 1e3, 3),
-            "emitter_sorted_ms": round(t_em_sorted * 1e3, 3),
+            "ortho_ms": st_full,
+            "shuffled_ms": st_shuf,
+            "shuffled_sorted_ms": st_shuf_sorted,
+            "emitter_ms": st_em,
+            "emitter_sorted_ms": st_em_sorted,
             "skip_ortho": round(_block_skip_rate(s_np, d_np), 3),
             "skip_shuffled": round(_block_skip_rate(s_sh, d_sh), 3),
             "skip_shuffled_sorted": round(
@@ -427,12 +557,13 @@ def main() -> None:
         s_ef, d_ef = emitter_rays(R, belts=16, seed=1)
         loss_ef, grads_ef = step(params, s_ef, d_ef)
         _force(loss_ef)
-        t_ef = _timeit(step, max(iters // 2, 2), params, s_ef, d_ef)
+        t_ef, st_ef = _timeit(step, 1, params, s_ef, d_ef, reps=reps)
         gn = float(jnp.linalg.norm(grads_ef.control_points))
         assert np.isfinite(float(loss_ef)) and np.isfinite(gn) and gn > 0
         extras["emitter_fit"] = {
             "rays": R,
             "rays_per_s_fwd_bwd": round(R / t_ef, 1),
+            "stats_ms": st_ef,
             "loss": float(loss_ef),
             "grad_cp_norm": round(gn, 6),
         }
@@ -463,11 +594,16 @@ fn = jax.jit(lambda s_, d_: sweep_select_pallas(scene.patches, s_, d_))
 out = fn(s, d)
 import numpy as _np
 _np.asarray(out[2])  # force: first block_until_ready can return early
-t0 = time.perf_counter()
+ts = []
 for _ in range(5):
-    out = fn(s, d)
-jax.block_until_ready(out)
-print(json.dumps({"fused_ms": round((time.perf_counter() - t0) / 5 * 1e3, 3),
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = fn(s, d)
+    jax.block_until_ready(out)
+    ts.append((time.perf_counter() - t0) / 2)
+print(json.dumps({"fused_ms": round(float(_np.median(ts)) * 1e3, 3),
+                  "fused_ms_min": round(min(ts) * 1e3, 3),
+                  "fused_ms_max": round(max(ts) * 1e3, 3), "n": len(ts),
                   "hits": int(jnp.sum(out[0]))}))
 """
         env = dict(_os2.environ)
@@ -482,6 +618,9 @@ print(json.dumps({"fused_ms": round((time.perf_counter() - t0) / 5 * 1e3, 3),
             fused_default = breakdown.get("fused_sweep_select")
             extras["fast_newton"] = {
                 "fused_ms": fast["fused_ms"],
+                "fused_ms_min": fast.get("fused_ms_min"),
+                "fused_ms_max": fast.get("fused_ms_max"),
+                "n": fast.get("n"),
                 "default_fused_ms": fused_default,
                 "speedup": round(fused_default / fast["fused_ms"], 3)
                 if fused_default else None,

@@ -6,5 +6,11 @@ from .scenes import (  # noqa: F401
     robot_lens_scene,
     dimpled_lens_scene,
 )
-from .lens_model import LensParams, lens_forward, lens_loss, make_train_step  # noqa: F401
+from .lens_model import (  # noqa: F401
+    LensParams,
+    lens_forward,
+    lens_loss,
+    make_opt_train_step,
+    make_train_step,
+)
 from .fit import fit_lens, fit_emitter_lens, emitter_rays  # noqa: F401

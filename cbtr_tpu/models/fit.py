@@ -17,15 +17,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..utils.checkpoint import latest_checkpoint, load_params, save_params
-from .lens_model import LensParams, make_train_step, params_from_scene
+from .lens_model import (
+    LensParams,
+    make_opt_train_step,
+    make_train_step,
+    params_from_scene,
+)
 
 
 def fit_lens(scene, target, steps: int, checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 10, learning_rate: float = 1e-3,
              resolution: int = 0,
              on_step: Optional[Callable[[int, float], None]] = None,
-             rays=None, init_params: Optional[LensParams] = None):
-    """SGD-fit the lens control points + refractive index to `target`.
+             rays=None, init_params: Optional[LensParams] = None,
+             optimizer=None):
+    """Fit the lens control points + refractive index to `target`.
 
     Returns (params, losses list starting at the resumed step).  With
     `checkpoint_dir`, resumes from the latest `ckpt_{step}.npz` and writes a
@@ -33,6 +39,11 @@ def fit_lens(scene, target, steps: int, checkpoint_dir: Optional[str] = None,
     rays: optional (start [N,3], direction [N,3]) overriding the scene's
     collimated grid (e.g. a point-source emitter set — fit_emitter_lens);
     init_params: optional starting parameters (default: the scene's).
+    optimizer: None for plain SGD at `learning_rate` (the checkpoint/resume
+    -exact path: tests/test_fit_resume.py), "adam" for optax.adam at
+    `learning_rate`, or any optax GradientTransformation.  Optimizer state
+    is NOT checkpointed — a resumed adam run restarts its moments (the
+    params themselves resume exactly).
     """
     target = jnp.asarray(target, jnp.float32)
     resolution = resolution or int(target.shape[0])
@@ -45,13 +56,30 @@ def fit_lens(scene, target, steps: int, checkpoint_dir: Optional[str] = None,
         if ckpt is not None:
             params, start_step = load_params(ckpt, LensParams)
 
-    step_fn = make_train_step(
-        scene.patches, scene.screen_plane, target, resolution=resolution,
-        learning_rate=learning_rate,
-    )
+    opt_state = None
+    if optimizer is not None:
+        import optax
+
+        if optimizer == "adam":
+            optimizer = optax.adam(learning_rate)
+        step_fn_opt = make_opt_train_step(
+            scene.patches, scene.screen_plane, target, optimizer,
+            resolution=resolution,
+        )
+        opt_state = optimizer.init(params)
+    else:
+        step_fn = make_train_step(
+            scene.patches, scene.screen_plane, target, resolution=resolution,
+            learning_rate=learning_rate,
+        )
     losses = []
     for step in range(start_step, steps):
-        params, loss = step_fn(params, ray_s, ray_d)
+        if opt_state is not None:
+            params, opt_state, loss = step_fn_opt(
+                params, opt_state, ray_s, ray_d
+            )
+        else:
+            params, loss = step_fn(params, ray_s, ray_d)
         loss = float(loss)
         if not np.isfinite(loss):
             raise FloatingPointError(f"non-finite loss at step {step}")

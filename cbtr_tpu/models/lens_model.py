@@ -94,3 +94,37 @@ def make_train_step(patches, screen_plane, target, resolution: int = 128,
         return new, loss
 
     return step
+
+
+def make_opt_train_step(patches, screen_plane, target, optimizer,
+                        resolution: int = 128, extent: float = 4.0,
+                        chunk_size: int = 0):
+    """Jitted optax train step for lens DESIGN runs.
+
+    The plain-SGD `make_train_step` converges too slowly for the
+    reference's motivating design scenario (car-lamp illumination,
+    reference/README.md:159-165): the control-point loss surface is stiff
+    (per-pixel splat gradients span orders of magnitude across the net),
+    so a multi-hundred-step fit wants per-parameter step adaptation.
+    `optimizer` is any optax GradientTransformation (the design artifact
+    uses adam).  Returns step: (params, opt_state, start, direction) ->
+    (params, opt_state, loss); initialise opt_state = optimizer.init(params).
+    Rays stay a data argument, so the step pjit-shards exactly like
+    make_train_step's."""
+
+    def loss_fn(params, start, direction):
+        return lens_loss(
+            params, patches, start, direction, screen_plane, target,
+            resolution=resolution, extent=extent, chunk_size=chunk_size,
+        )
+
+    import optax  # baked into the image; imported lazily to keep cold paths light
+
+    @jax.jit
+    def step(params: LensParams, opt_state, start, direction):
+        loss, grads = jax.value_and_grad(loss_fn)(params, start, direction)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

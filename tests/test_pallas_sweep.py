@@ -128,10 +128,10 @@ def test_fused_select_pad_and_miss_rays(scene):
     assert (np.asarray(win)[a] < scene.num_patches).all()
 
 
-def test_sweep_smem_overflow_falls_back_to_streaming(scene, rays, monkeypatch):
+def test_sweep_smem_overflow_chunks_rays(scene, rays, monkeypatch):
     """When the scalar-prefetch lists would blow the SMEM budget,
-    sweep_codes_pallas degrades to the 2D streaming grid instead of dying
-    in a Mosaic OOM — identical codes/distances."""
+    sweep_codes_pallas chunks the ray axis (the 2D streaming-grid fallback
+    was deleted in round 5) — identical codes/distances."""
     import cbtr_tpu.ops.pallas_sweep as PS
 
     start, d = rays
@@ -236,14 +236,15 @@ def test_intersect_rays_winner_path_end_to_end(scene, monkeypatch):
     )
 
 
-def test_resident_and_2d_grid_kernels_agree(scene, rays, monkeypatch):
-    """The VMEM-resident 1D-grid kernel (small P) and the streaming 2D-grid
-    kernel (large P) compute identical codes/distances."""
+def test_sweep_patch_chunking_agrees(scene, rays, monkeypatch):
+    """Chunking the patch axis (P > _RESIDENT_MAX_P) must concatenate to
+    identical codes/distances — per-pair codes are patch-independent."""
     import cbtr_tpu.ops.pallas_sweep as PS
 
     start, d = rays
+    assert scene.num_patches > 32
     code_a, dist_a = sweep_codes_pallas(scene, start, d, interpret=True)
-    monkeypatch.setattr(PS, "_RESIDENT_MAX_P", 0)  # force the 2D-grid path
+    monkeypatch.setattr(PS, "_RESIDENT_MAX_P", 32)  # force >= 2 patch chunks
     PS._sweep_call._clear_cache()
     code_b, dist_b = sweep_codes_pallas(scene, start, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(code_a), np.asarray(code_b))
