@@ -629,6 +629,75 @@ print(json.dumps({"fused_ms": round(float(_np.median(ts)) * 1e3, 3),
         except Exception as e:  # report, don't fail the artifact
             extras["fast_newton"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- opt-in bf16-accumulation sweep (config.bf16_sweep) ---------------
+    # round-5 verdict ask #4: measure the sub-f32 sweep both ways on
+    # hardware.  Fresh subprocess (trace-time flag), reporting rate AND
+    # per-ray winner agreement vs the in-process f32 fused result.
+    if not smoke and _use_pallas():
+        bf16_script = r"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cbtr_tpu.config import DEFAULT as CFG
+object.__setattr__(CFG, "bf16_sweep", True)
+import jax.numpy as jnp
+from cbtr_tpu.models import robot_lens_scene
+from cbtr_tpu.ops.pallas_sweep import sweep_select_pallas
+scene = robot_lens_scene(res=256)
+s = jnp.asarray(scene.start).reshape(-1, 3)
+d = jnp.asarray(scene.direction).reshape(-1, 3)
+fn = jax.jit(lambda s_, d_: sweep_select_pallas(scene.patches, s_, d_))
+out = fn(s, d)
+np.asarray(out[2])  # tunnel barrier
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = fn(s, d)
+    jax.block_until_ready(out)
+    ts.append((time.perf_counter() - t0) / 2)
+ah = np.asarray(out[0]); win = np.asarray(out[1])
+print(json.dumps({"fused_ms": round(float(np.median(ts)) * 1e3, 3),
+                  "fused_ms_min": round(min(ts) * 1e3, 3),
+                  "fused_ms_max": round(max(ts) * 1e3, 3), "n": len(ts),
+                  "hits": int(ah.sum()),
+                  "any_hit": ah.tolist(), "win": win.tolist()}))
+"""
+        import os as _os3
+        import subprocess as _sp2
+        import sys as _sys3
+
+        try:
+            proc = _sp2.run(
+                [_sys3.executable, "-c", bf16_script], capture_output=True,
+                text=True, timeout=1500, env=dict(_os3.environ),
+                cwd=_os3.path.dirname(_os3.path.abspath(__file__)),
+            )
+            bf = json.loads(proc.stdout.strip().splitlines()[-1])
+            # f32 reference winners at the same shape (fused kernel)
+            ah_f, win_f, _ = fused_jit(sb, db)
+            ah_f = np.asarray(ah_f)[:R]
+            win_f = np.asarray(win_f)[:R]
+            ah_b = np.asarray(bf.pop("any_hit"), bool)[:R]
+            win_b = np.asarray(bf.pop("win"))[:R]
+            same = ah_f == ah_b
+            bothb = same & ah_f
+            same_w = win_f[bothb] == win_b[bothb]
+            fused_default = breakdown.get("fused_sweep_select")
+            extras["bf16_sweep"] = {
+                **bf,
+                "default_fused_ms": fused_default,
+                "speedup": round(fused_default / bf["fused_ms"], 3)
+                if fused_default else None,
+                "winner_agreement": round(
+                    float((same.sum() - (~same_w).sum()) / same.size), 5
+                ),
+            }
+        except Exception as e:  # report, don't fail the artifact
+            extras["bf16_sweep"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- reference-semantics NumPy baseline (forward only, extrapolated) ----
     from cbtr_tpu.harness.reference_tracer import ReferenceTracer
 

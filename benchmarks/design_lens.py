@@ -1,21 +1,22 @@
 #!/usr/bin/env python
 """Converged lens DESIGN: the reference's motivating car-lamp scenario
 (reference/README.md:159-165, reference/hostUtil.cpp:9-29) run end-to-end —
-a multi-hundred-step emitter-illumination fit driving the screen pattern of
-a point source toward a structured target.
+a multi-hundred-step fit driving the screen pattern of a point source
+toward a structured ring target.
+
+The design variables are the WELDED MESH VERTICES (models/design.py): every
+step re-runs the full Clough-Tocher construction differentiably, so the
+derived patch tables stay exact at every iterate (optimizing raw control
+points was measured to corrupt its own loss landscape — PERF.md round-5
+item 6).  Emitter rays are a deterministic low-discrepancy cone lattice
+(stratified cos x golden-angle turn) aimed at the lens: the splat's
+Monte-Carlo noise sets the reachable loss floor, and the lattice buys a
+far lower floor than iid sampling at the same ray count.
 
 Writes DESIGN_r05.json with the loss curve, wall time, rays/s, and
-initial/final image checksums, and asserts the loss drops >= 100x from the
-initial value.  `--smoke` runs a reduced-scale version of the same
-trajectory (used by tests/test_design.py on CPU).
-
-Setup: sphere lens at (5,0,0) (smooth free-form surrogate for a lamp
-cover), hemisphere point source at the origin, screen at x=10.  Target: a
-gaussian RING of screen radius `--ring-r`, scaled to the live flux the
-initial lens actually delivers (so the optimum is reachable — a target the
-rays cannot sum to would floor the loss on total-flux mismatch, not
-pattern mismatch).  Optimizer: optax.adam on (control points, refractive
-index) via models.fit.fit_lens(optimizer="adam").
+initial/best/final losses + image checksums, and asserts the pattern loss
+drops >= 100x from the initial value.  `--smoke` runs the same trajectory
+at reduced scale (tests/test_design.py drives it on CPU).
 """
 from __future__ import annotations
 
@@ -28,12 +29,31 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def cone_lattice_rays(n: int, max_angle_deg: float):
+    """Deterministic low-discrepancy point-source cone: stratified cos
+    (uniform over the spherical cap's area) x golden-angle turn, emitted
+    from the origin toward +x (the lens).  Physically the cap restriction
+    models the solid angle a lamp reflector feeds the cover; numerically it
+    keeps every ray on the lens instead of wasting 98% of a full
+    hemisphere on empty space."""
+    import jax.numpy as jnp
+
+    cos_min = float(np.cos(np.deg2rad(max_angle_deg)))
+    i = np.arange(n)
+    cosi = 1.0 - (i + 0.5) / n * (1.0 - cos_min)
+    turn = (i * 2.399963229728653) % (2.0 * np.pi)   # golden angle
+    sini = np.sqrt(np.maximum(1.0 - cosi * cosi, 0.0))
+    d = np.stack([cosi, sini * np.cos(turn), sini * np.sin(turn)], -1)
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    return jnp.zeros((n, 3), jnp.float32), jnp.asarray(d)
 
 
 def ring_target(resolution: int, extent: float, radius: float,
                 sigma: float) -> np.ndarray:
-    """Gaussian ring on the screen pixel grid (unnormalized)."""
     c = (np.arange(resolution, dtype=np.float64) + 0.5) / resolution
     xy = (c - 0.5) * 2.0 * extent
     gx, gy = np.meshgrid(xy, xy, indexing="ij")
@@ -41,7 +61,7 @@ def ring_target(resolution: int, extent: float, radius: float,
     return np.exp(-0.5 * ((r - radius) / sigma) ** 2).astype(np.float32)
 
 
-def img_checksum(img: np.ndarray) -> str:
+def img_checksum(img) -> str:
     return hashlib.sha256(np.asarray(img, np.float32).tobytes()).hexdigest()[:16]
 
 
@@ -52,69 +72,83 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--rays", type=int, default=0)
     ap.add_argument("--res", type=int, default=0, help="screen resolution")
-    ap.add_argument("--lr", type=float, default=0.0)
+    ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--ring-r", type=float, default=1.2)
-    ap.add_argument("--ring-sigma", type=float, default=0.35)
+    ap.add_argument("--ring-sigma", type=float, default=0.5)
+    ap.add_argument("--cone-deg", type=float, default=13.0)
     ap.add_argument("--out", default="DESIGN_r05.json")
     args = ap.parse_args()
 
     smoke = args.smoke
-    steps = args.steps or (60 if smoke else 300)
-    n_rays = args.rays or (4096 if smoke else 262144)
-    res = args.res or (32 if smoke else 64)
-    lr = args.lr or 2e-3
+    steps = args.steps or (120 if smoke else 800)
+    n_rays = args.rays or (16384 if smoke else 262144)
+    res = args.res or (16 if smoke else 32)
 
     import jax
 
-    if smoke and jax.default_backend() not in ("tpu",):
-        pass  # whatever backend the test harness picked
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from cbtr_tpu.models import sphere_lens_scene
-    from cbtr_tpu.models.fit import emitter_rays, fit_lens
-    from cbtr_tpu.models.lens_model import lens_forward, params_from_scene
+    from cbtr_tpu.harness import preprocess
+    from cbtr_tpu.mesh.core import make_unit_sphere
+    from cbtr_tpu.models.scenes import LENS_CENTER
+    from cbtr_tpu.models.design import (
+        design_loss,
+        fit_design,
+        patches_from_vertices,
+        topology_from_mesh,
+    )
 
-    scene = sphere_lens_scene(res=8) if smoke else sphere_lens_scene(res=8,
-                                                                     sectors=15,
-                                                                     belts=7)
+    mesh = preprocess(make_unit_sphere(9, 5) if smoke
+                      else make_unit_sphere(15, 7))
+    mesh.translate(LENS_CENTER)
+    mesh = preprocess(mesh)
+    screen = jnp.asarray([1.0, 0.0, 0.0, 10.0], jnp.float32)
     extent = 4.0
-    rays = emitter_rays(n_rays, belts=16, seed=1)
+    s, d = cone_lattice_rays(n_rays, args.cone_deg)
 
-    params0 = params_from_scene(scene)
-    img0 = np.asarray(lens_forward(
-        params0, scene.patches, rays[0], rays[1], scene.screen_plane,
-        resolution=res, extent=extent,
-    ))
-    flux = float(img0.sum())
+    topo, p0 = topology_from_mesh(mesh)
+    loss0_v, img0 = design_loss(p0, topo, s, d, screen,
+                                jnp.ones((res, res), jnp.float32),
+                                resolution=res, extent=extent)
+    flux = float(np.asarray(img0).sum())
     ring = ring_target(res, extent, args.ring_r, args.ring_sigma)
-    target = ring * (flux / float(ring.sum()))
+    target = jnp.asarray(ring * (flux / float(ring.sum())))
+    loss0, img0 = design_loss(p0, topo, s, d, screen, target,
+                              resolution=res, extent=extent)
+    loss0 = float(loss0)
 
     t0 = time.perf_counter()
-    losses_f = []
-    params, losses = fit_lens(
-        scene, target, steps, rays=rays, resolution=res,
-        learning_rate=lr, optimizer="adam",
-        on_step=lambda s, l: losses_f.append(l),
+    best = {"loss": float("inf"), "params": None}
+
+    def track(i, l):
+        if l < best["loss"]:
+            best["loss"] = l
+            best["step"] = i
+
+    params, topo, losses = fit_design(
+        mesh, target, s, d, screen, steps=steps, learning_rate=args.lr,
+        resolution=res, extent=extent, on_step=track,
     )
     wall = time.perf_counter() - t0
 
-    img1 = np.asarray(lens_forward(
-        params, scene.patches, rays[0], rays[1], scene.screen_plane,
-        resolution=res, extent=extent,
-    ))
-    loss0, loss1 = losses[0], min(losses)
-    drop = loss0 / max(loss1, 1e-30)
+    _, img1 = design_loss(params, topo, s, d, screen, target,
+                          resolution=res, extent=extent)
+    drop = loss0 / max(best["loss"], 1e-30)
     rec = {
-        "metric": "emitter-illumination lens design (ring target)",
+        "metric": "mesh-vertex lens design, point source -> ring (pattern+flux loss)",
         "steps": steps,
         "rays": n_rays,
         "resolution": res,
-        "lr": lr,
+        "lr": args.lr,
+        "vertices": int(np.asarray(params.vertices).shape[0]),
+        "patches": int(topo.face2vertex.shape[0]) * 3,
         "loss_initial": loss0,
         "loss_final": losses[-1],
-        "loss_best": loss1,
+        "loss_best": best["loss"],
+        "loss_best_step": best.get("step", -1),
         "loss_drop_x": round(drop, 1),
         "wall_s": round(wall, 3),
         "rays_per_s_fwd_bwd": round(n_rays * steps / wall, 1),
@@ -127,8 +161,7 @@ def main() -> None:
     }
     print(json.dumps(rec))
     if not smoke:
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), args.out), "w") as f:
+        with open(os.path.join(REPO, args.out), "w") as f:
             json.dump(rec, f, indent=1)
     assert drop >= 100.0, f"loss drop {drop:.1f}x < 100x"
 

@@ -73,9 +73,20 @@ def measure(scene, start, direction, chunk=2048):
         win_need = jnp.take_along_axis(need, win[:, None].astype(jnp.int32),
                                        axis=1)[:, 0]
         ww = jnp.max(jnp.where(any_hit, win_need, 0.0))
-        return w, wv, ww, jnp.sum(keep)
+        # ...and the TRUE per-patch-sphere requirement: the cull passes iff
+        # the RAY hits the sphere, so the needed radius is the ray line's
+        # distance from the winner's center (not the hit point's)
+        cw = jnp.take(center, win, axis=0)                 # [R,3]
+        rel = cw - s
+        t_ca = jnp.sum(rel * d, axis=-1)
+        rel2 = jnp.sum(rel * rel, axis=-1)
+        d_perp2 = jnp.where(t_ca >= 0.0,
+                            jnp.maximum(rel2 - t_ca * t_ca, 0.0), rel2)
+        ray_need = jnp.sqrt(d_perp2) / jnp.take(r_hull, win, axis=0)
+        wr = jnp.max(jnp.where(any_hit, ray_need, 0.0))
+        return w, wv, ww, wr, jnp.sum(keep)
 
-    worst = worst_votes = worst_win = 0.0
+    worst = worst_votes = worst_win = worst_ray = 0.0
     n_cand = 0
     pad = (-s_all.shape[0]) % chunk
     if pad:
@@ -83,13 +94,14 @@ def measure(scene, start, direction, chunk=2048):
         filler = np.tile(np.array([-1.0, 0, 0], np.float32), (pad, 1))
         d_all = np.concatenate([d_all, filler])  # -x rays: miss everything
     for c0 in range(0, s_all.shape[0], chunk):
-        w, wv, ww, n = chunk_stats(jnp.asarray(s_all[c0:c0 + chunk]),
-                                   jnp.asarray(d_all[c0:c0 + chunk]))
+        w, wv, ww, wr, n = chunk_stats(jnp.asarray(s_all[c0:c0 + chunk]),
+                                       jnp.asarray(d_all[c0:c0 + chunk]))
         worst = max(worst, float(w))
         worst_votes = max(worst_votes, float(wv))
         worst_win = max(worst_win, float(ww))
+        worst_ray = max(worst_ray, float(wr))
         n_cand += int(n)
-    return worst, worst_votes, worst_win, n_cand
+    return worst, worst_votes, worst_win, worst_ray, n_cand
 
 
 def main() -> None:
@@ -117,21 +129,23 @@ def main() -> None:
     ]
     for name, scn in fixtures:
         rows = {}
-        w, wv, ww, n = measure(scn, scn.start, scn.direction)
+        w, wv, ww, wr, n = measure(scn, scn.start, scn.direction)
         rows["ortho"] = {"need": round(w, 4), "votes": round(wv, 4),
-                         "winners": round(ww, 4), "candidates": n}
+                         "winners": round(ww, 4),
+                         "winners_ray": round(wr, 4), "candidates": n}
         es, ed = emitter_rays(4096, belts=16, seed=1)
-        w, wv, ww, n = measure(scn, es, ed)
+        w, wv, ww, wr, n = measure(scn, es, ed)
         rows["emitter"] = {"need": round(w, 4), "votes": round(wv, 4),
-                           "winners": round(ww, 4), "candidates": n}
+                           "winners": round(ww, 4),
+                           "winners_ray": round(wr, 4), "candidates": n}
         out[name] = rows
         print(name, json.dumps(rows), flush=True)
     overall = max(r["need"] for rows in out.values() for r in rows.values())
-    decisive = max(max(r["votes"], r["winners"])
+    decisive = max(r["winners_ray"]
                    for rows in out.values() for r in rows.values())
     print("RESULT", json.dumps({
         "max_inflation_needed_all_candidates": round(overall, 4),
-        "max_inflation_needed_votes_and_winners": round(decisive, 4),
+        "max_winner_ray_sphere_requirement": round(decisive, 4),
     }))
 
 

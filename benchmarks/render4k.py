@@ -55,17 +55,17 @@ def run_tpu(out: str, res: int, image_res: int, chunk: int) -> None:
     mesh = multihost_mesh()
     n_rays = grid.n_rays
 
-    def render():
+    def render(g):
         img = render_multihost_ortho(
-            mesh, scene.patches, scene.refractive_index, grid,
+            mesh, scene.patches, scene.refractive_index, g,
             scene.screen_plane, resolution=image_res, chunk_size=chunk,
         )
         jax.block_until_ready(img)
         return np.asarray(img)
 
-    img = render()  # compile + warm
+    img = render(grid)  # compile + warm
     t0 = time.perf_counter()
-    img2 = render()
+    img2 = render(grid)
     dt = time.perf_counter() - t0
     checksum = hashlib.sha256(img.tobytes()).hexdigest()[:16]
     checksum2 = hashlib.sha256(img2.tobytes()).hexdigest()[:16]
@@ -82,6 +82,29 @@ def run_tpu(out: str, res: int, image_res: int, chunk: int) -> None:
         "live_ray_weight": float(img.sum()),
         "device": jax.devices()[0].device_kind,
         "n_devices": len(jax.devices()),
+    }
+
+    # ---- cross-layout agreement (round-4 verdict weak #6): the SAME ray
+    # multiset in row-major order.  The splat is order-invariant in exact
+    # arithmetic; in f32 the per-pixel accumulation order changes, so
+    # borderline acceptances can flip (r03->r04 moved ~470 of 16.8M rays).
+    # Quantify it instead of leaving it to the diff of two rounds' files.
+    grid_rm = grid._replace(tiled=False)
+    img_rm = render(grid_rm)  # compile + warm (different layout -> new jit)
+    t0 = time.perf_counter()
+    img_rm = render(grid_rm)
+    dt_rm = time.perf_counter() - t0
+    denom = max(float(np.abs(img).max()), 1e-30)
+    record["row_major"] = {
+        "wall_s": round(dt_rm, 3),
+        "rays_per_s": round(n_rays / dt_rm, 1),
+        "image_checksum": hashlib.sha256(img_rm.tobytes()).hexdigest()[:16],
+        "live_ray_weight": float(img_rm.sum()),
+        "live_ray_weight_delta": float(img_rm.sum() - img.sum()),
+        "image_max_abs_diff_rel": float(np.abs(img_rm - img).max() / denom),
+        "image_l2_diff_rel": float(
+            np.linalg.norm(img_rm - img) / max(np.linalg.norm(img), 1e-30)
+        ),
     }
     with open(out, "w") as f:
         json.dump(record, f, indent=1)

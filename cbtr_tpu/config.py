@@ -71,6 +71,20 @@ class Config:
     # (tests/test_fast_newton.py pins both settings in fresh subprocesses).
     fast_newton: bool = False
 
+    # Opt-in sub-f32 sweep experiment (round-5 verdict ask #4; default OFF
+    # preserves exact f32 sweep arithmetic): run the Pallas sweep tile's
+    # candidate evaluation (bracket, Newton refinement, acceptance) in
+    # bfloat16, keeping the emitted distance f32 and the differentiable
+    # winner recompute exact-f32 as always.  bf16's 8-bit mantissa is far
+    # below the acceptance epsilons (1e-5 relative ~ 1/3 ulp at magnitude
+    # 1), so acceptance flips are expected — recompute_reject_count and the
+    # BENCH agreement row quantify them; see BENCH_r05 bf16_sweep for the
+    # measured rate/agreement verdict.
+    #
+    # TRACE-TIME CAPTURE: read during trace — set BEFORE the first
+    # jit/Pallas call in the process.
+    bf16_sweep: bool = False
+
     # --- thick-patch refinement (bezierMesh.h:12-14) ---
     sample_ratios_original_side: tuple = (0.25, 0.5, 0.75)
     bezier_height_per_perimeter_limit: float = 0.03

@@ -1,0 +1,180 @@
+"""Mesh-vertex lens design: optimize the lens SHAPE end-to-end.
+
+The reference's motivating scenario is designing a car-lamp cover that
+turns a point source into a prescribed illumination pattern
+(reference/README.md:159-165).  Optimizing the raw Bezier control points
+(models/fit.py) works for small deltas but degrades on long runs: the
+derived per-patch tables (underlying plane, barycentric inverse, heights,
+divider planes) are built once and go stale as the 10P control points
+drift apart, so the loss landscape itself corrupts (measured round 5: a
+400-step adam fit bottomed out at step ~50 and then climbed).
+
+This module parameterizes the design the way the reference's own pipeline
+is structured: the WELDED MESH VERTICES [V,3] are the free parameters, and
+every step re-runs the full Clough-Tocher construction differentiably —
+bezier/build.py build_patches is pure jnp, so gradients flow through
+control-point construction, divider planes, height sampling, the lot.
+Patches stay C1-consistent and the derived tables exact at every iterate,
+V*3 parameters instead of P*30, and the per-step rebuild is O(P) — noise
+next to the O(R*P) sweep.
+
+The corner-average normals (mesh.cpp:284-308's angle-weighted vertex
+normals) are likewise recomputed differentiably each step via
+jax.ops.segment_sum over the static face->vertex topology.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bezier.build import build_patches
+from ..render.render import render_lens_image
+
+
+class DesignTopology(NamedTuple):
+    """Static (non-differentiated) connectivity of the design mesh."""
+
+    face2vertex: jnp.ndarray    # [F,3] i32 welded vertex id per corner
+    fellow: jnp.ndarray         # [F,3] i32 (TriMesh.fellow_triangles)
+    fellow_starts: jnp.ndarray  # [F,3] i32
+
+
+class DesignParams(NamedTuple):
+    vertices: jnp.ndarray          # [V,3] f32 — THE design variables
+    refractive_index: jnp.ndarray  # scalar f32
+
+
+def topology_from_mesh(mesh) -> tuple[DesignTopology, DesignParams]:
+    """Extract (static topology, initial params) from a preprocessed TriMesh.
+
+    face2vertex is rebuilt from the welded coordinates (exact equality
+    after welding), so it works with either preprocessing runtime (the
+    native C++ one does not export the NumPy-path vertex tables)."""
+    tris = np.asarray(mesh.tris, np.float32)
+    flat = tris.reshape(-1, 3)
+    verts, inverse = np.unique(flat, axis=0, return_inverse=True)
+    topo = DesignTopology(
+        face2vertex=jnp.asarray(inverse.reshape(-1, 3).astype(np.int32)),
+        fellow=jnp.asarray(np.asarray(mesh.fellow_triangles, np.int32)),
+        fellow_starts=jnp.asarray(
+            np.asarray(mesh.fellow_common_side_starts, np.int32)
+        ),
+    )
+    return topo, DesignParams(
+        vertices=jnp.asarray(verts.astype(np.float32)),
+        refractive_index=jnp.float32(1.3),
+    )
+
+
+def corner_average_normals(tris, face2vertex, num_vertices: int):
+    """Differentiable angle-weighted vertex-average normals
+    (mesh.cpp:284-308; mirrors mesh/core.py _calculate_vertex_average_normals
+    in jnp + segment_sum)."""
+    normals = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    unit = normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-30
+    )
+    side_a = jnp.roll(tris, -1, axis=1) - tris
+    side_b = jnp.roll(tris, -2, axis=1) - tris
+    cosang = jnp.sum(side_a * side_b, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(side_a, axis=-1) * jnp.linalg.norm(side_b, axis=-1),
+        1e-30,
+    )
+    angle = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))        # [F,3]
+    contrib = (unit[:, None, :] * angle[..., None]).reshape(-1, 3)
+    sums = jax.ops.segment_sum(
+        contrib, face2vertex.reshape(-1), num_segments=num_vertices
+    )
+    sums = sums / jnp.maximum(
+        jnp.linalg.norm(sums, axis=-1, keepdims=True), 1e-30
+    )
+    return sums[face2vertex]                                # [F,3,3]
+
+
+def patches_from_vertices(params: DesignParams, topo: DesignTopology):
+    """Vertices -> full Clough-Tocher patch set, differentiably."""
+    tris = params.vertices[topo.face2vertex]                # [F,3,3]
+    navg = corner_average_normals(
+        tris, topo.face2vertex, params.vertices.shape[0]
+    )
+    return build_patches(tris, topo.fellow, topo.fellow_starts, navg)
+
+
+def design_loss(params: DesignParams, topo: DesignTopology, start, direction,
+                screen_plane, target, resolution: int = 64,
+                extent: float = 4.0, flux_weight: float = 0.1):
+    """Pattern + flux loss for a design iterate.
+
+    Pattern term: MSE between the FLUX-NORMALIZED image and the normalized
+    target — the shape of the illumination, independent of how much light
+    survives (a raw-MSE fit stalls on the flux mismatch its own deformation
+    causes: TIR/miss losses move total throughput while the target is
+    fixed).  Flux term: (1 - delivered/target_flux)^2 keeps the optimizer
+    from cheating by throwing light away.  Returns (loss, img)."""
+    img = render_lens_image(
+        patches_from_vertices(params, topo), params.refractive_index,
+        start, direction, screen_plane, extent=extent, resolution=resolution,
+    )
+    t_sum = jnp.sum(target)
+    i_sum = jnp.maximum(jnp.sum(img), 1e-12)
+    pattern = jnp.mean((img / i_sum - target / t_sum) ** 2) * resolution ** 2
+    flux = (1.0 - i_sum / t_sum) ** 2
+    return pattern + flux_weight * flux, img
+
+
+def make_design_step(topo: DesignTopology, screen_plane, target, optimizer,
+                     resolution: int = 64, extent: float = 4.0,
+                     flux_weight: float = 0.1):
+    """Jitted optax design step: (params, opt_state, start, direction) ->
+    (params, opt_state, loss).  Rays are data args (pjit-shardable like
+    make_train_step's)."""
+    import optax
+
+    def loss_fn(params, start, direction):
+        loss, _ = design_loss(
+            params, topo, start, direction, screen_plane, target,
+            resolution=resolution, extent=extent, flux_weight=flux_weight,
+        )
+        return loss
+
+    @jax.jit
+    def step(params: DesignParams, opt_state, start, direction):
+        loss, grads = jax.value_and_grad(loss_fn)(params, start, direction)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit_design(mesh, target, start, direction, screen_plane, steps: int,
+               learning_rate: float = 2e-3, resolution: int = 64,
+               extent: float = 4.0, refractive_index: float = 1.3,
+               flux_weight: float = 0.1, lr_decay: bool = True,
+               on_step=None):
+    """Run a full mesh-vertex design fit.  Returns (params, losses)."""
+    import optax
+
+    topo, params = topology_from_mesh(mesh)
+    params = params._replace(refractive_index=jnp.float32(refractive_index))
+    sched = (optax.cosine_decay_schedule(learning_rate, steps)
+             if lr_decay else learning_rate)
+    optimizer = optax.adam(sched)
+    step = make_design_step(
+        topo, screen_plane, target, optimizer, resolution=resolution,
+        extent=extent, flux_weight=flux_weight,
+    )
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, start, direction)
+        loss = float(loss)
+        if not np.isfinite(loss):
+            raise FloatingPointError(f"non-finite design loss at step {i}")
+        losses.append(loss)
+        if on_step:
+            on_step(i, loss)
+    return params, topo, losses

@@ -98,7 +98,7 @@ def _fast_recip(x):
 
 def _safe_div(num, den, eps=1e-12):
     den_safe = jnp.where(jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
-    if CFG.fast_newton:
+    if CFG.fast_newton and den_safe.dtype == jnp.float32:
         # opt-in fast-math (config.fast_newton, trace-time captured): the
         # Newton body's divides are its non-FMA cost center (PERF.md
         # roofline: ~47% of executed time is the non-FMA mix)
@@ -169,6 +169,15 @@ def _sweep_kernel_resident(counts_ref, lists_ref, rays_ref, patch_ref,
 def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
     """Full candidate evaluation for an 8-patch x TILE_R-ray tile; returns
     (code, dist) arrays."""
+    # sub-f32 sweep experiment (config.bf16_sweep, trace-time captured):
+    # run the Bernstein interpolate / directional-derivative POLYNOMIAL
+    # ACCUMULATIONS — the FLOP-heavy part of the Newton body — in bfloat16,
+    # keeping brackets, compares, and acceptance in f32.  (A full-bf16 tile
+    # does not compile: Mosaic rejects the bf16 compare layout with
+    # 'Invalid relayout ... vector<16x128xi1>', measured round 5.)  The
+    # emitted distance stays f32 and the differentiable winner recompute is
+    # exact-f32 regardless.
+    acc_dtype = jnp.bfloat16 if CFG.bf16_sweep else jnp.float32
     nx, ny, nz, c = (row(_ROW_PLANE + k) for k in range(4))
     h_in, h_out = row(_ROW_H), row(_ROW_H + 1)
 
@@ -225,15 +234,19 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
         )
 
     def interpolate(b0, b1, b2):
-        w = bernstein(b0, b1, b2)
-        fx = w[0] * cpx[0]
-        fy = w[0] * cpy[0]
-        fz = w[0] * cpz[0]
+        w = [wk.astype(acc_dtype) for wk in bernstein(b0, b1, b2)]
+        cx = [v.astype(acc_dtype) for v in cpx]
+        cy = [v.astype(acc_dtype) for v in cpy]
+        cz = [v.astype(acc_dtype) for v in cpz]
+        fx = w[0] * cx[0]
+        fy = w[0] * cy[0]
+        fz = w[0] * cz[0]
         for k in range(1, 10):
-            fx += w[k] * cpx[k]
-            fy += w[k] * cpy[k]
-            fz += w[k] * cpz[k]
-        return fx, fy, fz
+            fx += w[k] * cx[k]
+            fy += w[k] * cy[k]
+            fz += w[k] * cz[k]
+        return (fx.astype(jnp.float32), fy.astype(jnp.float32),
+                fz.astype(jnp.float32))
 
     def surface_diff(t):
         px = sx + t * dx
@@ -271,18 +284,24 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
     def normal_of(b0, b1, b2):
         """Quadratic directional-derivative normal
         (reference/bezierTriangle.cpp:197-233)."""
-        b0_2, b1_2, b2_2 = b0 * b0, b1 * b1, b2 * b2
-        ab = 2.0 * b0 * b1
-        bc = 2.0 * b1 * b2
-        ac = 2.0 * b0 * b2
+        b0_2 = (b0 * b0).astype(acc_dtype)
+        b1_2 = (b1 * b1).astype(acc_dtype)
+        b2_2 = (b2 * b2).astype(acc_dtype)
+        ab = (2.0 * b0 * b1).astype(acc_dtype)
+        bc = (2.0 * b1 * b2).astype(acc_dtype)
+        ac = (2.0 * b0 * b2).astype(acc_dtype)
         outs = []
         for cp in (cpx, cpy, cpz):
-            comp0 = (b0_2 * cp[0] + ab * cp[3] + b1_2 * cp[4]
-                     + b2_2 * cp[7] + ac * cp[8] + bc * cp[9])
-            comp1 = (b1_2 * cp[1] + b0_2 * cp[3] + ab * cp[4]
-                     + bc * cp[5] + b2_2 * cp[6] + ac * cp[9])
-            comp2 = (b2_2 * cp[2] + b1_2 * cp[5] + bc * cp[6]
-                     + ac * cp[7] + b0_2 * cp[8] + ab * cp[9])
+            cpa = [v.astype(acc_dtype) for v in cp]
+            comp0 = (b0_2 * cpa[0] + ab * cpa[3] + b1_2 * cpa[4]
+                     + b2_2 * cpa[7] + ac * cpa[8] + bc * cpa[9])
+            comp1 = (b1_2 * cpa[1] + b0_2 * cpa[3] + ab * cpa[4]
+                     + bc * cpa[5] + b2_2 * cpa[6] + ac * cpa[9])
+            comp2 = (b2_2 * cpa[2] + b1_2 * cpa[5] + bc * cpa[6]
+                     + ac * cpa[7] + b0_2 * cpa[8] + ab * cpa[9])
+            comp0 = comp0.astype(jnp.float32)
+            comp1 = comp1.astype(jnp.float32)
+            comp2 = comp2.astype(jnp.float32)
             # first direction is the constant (1, 0, -1)
             a_comp = comp0 - comp2
             b_comp = db0 * comp0 + db1 * comp1 + db2 * comp2
@@ -362,14 +381,26 @@ def _sweep_tile(row, sx, sy, sz, dx, dy, dz):
         jnp.where(outside == 2, 1, jnp.where(outside == 4, 2, _WHAT_INTERSECT)),
     )
     what = jnp.where(valid, what, _WHAT_NONE)
-    return what | (in_dom.astype(jnp.int32) << 3), distance
+    return what | (in_dom.astype(jnp.int32) << 3), distance.astype(jnp.float32)
 
 
 def patch_spheres(patches: BezierPatches):
     """Per-patch bounding sphere over the control net (surface ⊂ convex hull
-    of the 10 control points).  Inflated 25% so gate-OFF follow-side hits —
-    which converge slightly outside the patch domain — stay inside.
-    Returns (center [P,3], radius [P])."""
+    of the 10 control points), inflated 25%.  Returns (center [P,3],
+    radius [P]).
+
+    The 25% is an EMPIRICAL choice, not a provable bound — round 5 measured
+    both directions (benchmarks/inflation_probe.py, PERF.md round-5):
+    gate-OFF retry candidates can converge up to 66x the hull radius out
+    (the clip_bary extended-surface region), so NO finite inflation is
+    provably lossless; actual winners' rays require up to 1.37x at the
+    per-patch level, yet 1.25 stays exact in practice because the cull is
+    (tile x block)-granular — a block is evaluated whole when ANY of its
+    pairs passes.  Shrinking to 1.10 was measured to drop 3 of 65,536
+    winners on the refined robot for only +3%..+14% intersect time —
+    rejected to keep exact reference agreement.  The guards that make this
+    empiricism safe: on-device Pallas/XLA agreement asserted every bench
+    run at 4 shapes, recompute_reject_count, and the CPU fixture suite."""
     center = jnp.mean(patches.control_points, axis=1)  # [P,3]
     radius = jnp.max(
         jnp.linalg.norm(patches.control_points - center[:, None, :], axis=-1),
