@@ -150,31 +150,53 @@ def make_design_step(topo: DesignTopology, screen_plane, target, optimizer,
     return step
 
 
-def fit_design(mesh, target, start, direction, screen_plane, steps: int,
-               learning_rate: float = 2e-3, resolution: int = 64,
-               extent: float = 4.0, refractive_index: float = 1.3,
-               flux_weight: float = 0.1, lr_decay: bool = True,
+def fit_design(mesh, target, start, direction, screen_plane,
+               steps: int = 0, learning_rate: float = 5e-4,
+               stages=None, resolution: int = 64, extent: float = 4.0,
+               refractive_index: float = 1.3, flux_weight: float = 0.1,
                on_step=None):
-    """Run a full mesh-vertex design fit.  Returns (params, losses)."""
+    """Run a full mesh-vertex design fit.
+
+    stages: list of (peak_lr, steps) adam phases, each with a cosine decay
+    to 0 and each RESTARTED FROM THE BEST ITERATE SO FAR.  Adam on this
+    loss is non-monotone at sustained lr (measured round 5: a single
+    3000-step cosine run overshoots its own step-~800 minimum and climbs
+    ~4x), while staged restarts with shrinking peaks descend cleanly —
+    [[5e-4, 800], [1e-4, 800], [2e-5, 400]] measured a 105x drop on the
+    flat-top design where single-schedule runs plateaued at 25-40x.
+    Default: one (learning_rate, steps) stage.
+
+    Returns (best_params, topo, losses) where losses is the full
+    concatenated trajectory and best_params the lowest-loss iterate.
+    """
     import optax
 
+    if stages is None:
+        stages = [(learning_rate, steps)]
     topo, params = topology_from_mesh(mesh)
     params = params._replace(refractive_index=jnp.float32(refractive_index))
-    sched = (optax.cosine_decay_schedule(learning_rate, steps)
-             if lr_decay else learning_rate)
-    optimizer = optax.adam(sched)
-    step = make_design_step(
-        topo, screen_plane, target, optimizer, resolution=resolution,
-        extent=extent, flux_weight=flux_weight,
-    )
-    opt_state = optimizer.init(params)
+    best = (float("inf"), params)
     losses = []
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, start, direction)
-        loss = float(loss)
-        if not np.isfinite(loss):
-            raise FloatingPointError(f"non-finite design loss at step {i}")
-        losses.append(loss)
-        if on_step:
-            on_step(i, loss)
-    return params, topo, losses
+    i = 0
+    for peak_lr, n_steps in stages:
+        optimizer = optax.adam(optax.cosine_decay_schedule(peak_lr, n_steps))
+        step = make_design_step(
+            topo, screen_plane, target, optimizer, resolution=resolution,
+            extent=extent, flux_weight=flux_weight,
+        )
+        params = best[1]
+        opt_state = optimizer.init(params)
+        for _ in range(n_steps):
+            params, opt_state, loss = step(
+                params, opt_state, start, direction
+            )
+            loss = float(loss)
+            if not np.isfinite(loss):
+                raise FloatingPointError(f"non-finite design loss at step {i}")
+            losses.append(loss)
+            if loss < best[0]:
+                best = (loss, params)
+            if on_step:
+                on_step(i, loss)
+            i += 1
+    return best[1], topo, losses
