@@ -53,18 +53,19 @@ class Config:
     # the flag=False (strict upstream) semantics in a fresh subprocess.
     clamp_secant_estimate: bool = True
 
-    # Opt-in fast-math — a MEASURED NEGATIVE, kept as the record (not a
-    # reference constant; default OFF): replace the ~12 hardware divides per
+    # Opt-in fast-math — measured PERF-NEUTRAL, default OFF (not a
+    # reference constant): replace the ~12 hardware divides per
     # (ray, patch) Newton evaluation in the Pallas sweep kernels with an
     # exponent-negation reciprocal approximation + 2 Newton refinements
-    # (~6e-6 relative error, pure mul/sub VPU ops).  Round 3's roofline
-    # ESTIMATED ~1.3x from the op-mix; round 4 measured it at 0.66-0.73x —
-    # SLOWER than the pipelined hardware divide (BENCH_r04 fast_newton row;
-    # PERF.md round-4 item 5: the bit-trick's int-bitcast + 2 refinement
-    # multiplies cost more VPU issue slots than the divide they replace).
-    # Do not enable expecting a speedup.  The differentiable winner
-    # recompute stays exact either way; only sweep acceptance/distance can
-    # shift by ~1e-5, which the recompute_reject_count guard bounds.
+    # (~6e-6 relative error, pure mul/sub VPU ops).  The measurement
+    # history is itself the record: round 3's roofline ESTIMATED ~1.3x,
+    # round 4 measured 0.66-0.73x "slower", and round 5 found BOTH numbers
+    # were tunnel-latency artifacts (PERF.md measurement note) — the fair
+    # steady-state A/B (matched fresh subprocesses, 8 dispatches/window)
+    # reads 5.85 vs 5.79 ms: a 1% wash.  OFF stays the default because the
+    # trick buys nothing and shifts sweep acceptance/distance by ~1e-5
+    # (bounded by the recompute_reject_count guard); the differentiable
+    # winner recompute stays exact either way.
     #
     # TRACE-TIME CAPTURE: like clamp_secant_estimate, read during trace —
     # set BEFORE the first jit/Pallas call in the process
