@@ -623,7 +623,8 @@ _BIG_F = 3.4e38  # miss sentinel (matches ops.intersect._BIG)
 
 def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
                          dist_out_ref, idx_out_ref, code_scr, dist_scr,
-                         *, block_p: int = BLOCK_P):
+                         *, block_p: int = BLOCK_P,
+                         half_gate: bool = False):
     """FUSED sweep + select: one invocation per 128-ray tile.
 
     Replaces the materialize-[R,P]-then-select pipeline for P <= _FUSED_MAX_P:
@@ -659,20 +660,32 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
         code_scr[:] = jnp.full(code_scr.shape, _WHAT_NONE, jnp.int32)
         dist_scr[:] = jnp.zeros(dist_scr.shape, jnp.float32)
 
+        # Half-gating (default OFF — a measured negative): 25-29% of the
+        # 8-patch HALVES inside listed blocks have zero sphere hits (host
+        # replay, robot 450/refined), but gating each half independently
+        # measured SLOWER on v5e (7.12 vs 5.86 ms at the headline shape,
+        # identical winners): the two [8,128]-row tile evaluations halve
+        # the VPU's exploitable ILP and double the branch points, costing
+        # more than the ~27% skipped Newton work saves.  Kept behind the
+        # flag as the record, like the block_p=8 list experiment.
+        sub = block_p // 2 if (half_gate and block_p >= 16) else block_p
+
         def body(k, carry):
-            off = lists_ref[k, i] * block_p
-            pt = patch_ref[pl.ds(off, block_p), :]
+            off0 = lists_ref[k, i] * block_p
+            for h in range(block_p // sub):
+                off = off0 + h * sub
+                pt = patch_ref[pl.ds(off, sub), :]
 
-            def row(j):
-                return pt[:, j:j + 1]
+                def row(j, _pt=pt):
+                    return _pt[:, j:j + 1]
 
-            sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
+                sphere_hit = _sphere_hit(row, sx, sy, sz, dx, dy, dz)
 
-            @pl.when(jnp.any(sphere_hit))
-            def _compute():
-                code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
-                code_scr[pl.ds(off, block_p), :] = code
-                dist_scr[pl.ds(off, block_p), :] = dist
+                @pl.when(jnp.any(sphere_hit))
+                def _compute(row=row, off=off):
+                    code, dist = _sweep_tile(row, sx, sy, sz, dx, dy, dz)
+                    code_scr[pl.ds(off, sub), :] = code
+                    dist_scr[pl.ds(off, sub), :] = dist
 
             return carry
 
@@ -705,9 +718,10 @@ def _sweep_select_kernel(counts_ref, lists_ref, rays_ref, patch_ref, vote_ref,
         idx_out_ref[:] = jnp.broadcast_to(idx, idx_out_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_p"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_p", "half_gate"))
 def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool,
-                       block_p: int = BLOCK_P):
+                       block_p: int = BLOCK_P, half_gate: bool = False):
     Rp = rays.shape[1]
     Pp = patch_t.shape[0]
     flops_pair = 1300 * CFG.root_search_iterations // 4 + 400
@@ -739,7 +753,8 @@ def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_sweep_select_kernel, block_p=block_p),
+        functools.partial(_sweep_select_kernel, block_p=block_p,
+                          half_gate=half_gate),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
@@ -753,7 +768,8 @@ def _sweep_select_call(counts, lists, rays, patch_t, votes, interpret: bool,
 def sweep_select_pallas(patches: BezierPatches, start, direction,
                         interpret: bool | None = None,
                         block_p: int | None = None,
-                        use_aabb: bool = True):
+                        use_aabb: bool = True,
+                        half_gate: bool = False):
     """Fused sweep+select: (any_hit [R] bool, win [R] i32, win_dist [R] f32)
     — the winner of reference/bezierMesh.cpp:206-227's scan+retry without
     ever materializing per-pair state in HBM.  P must be <= _FUSED_MAX_P."""
@@ -784,7 +800,8 @@ def sweep_select_pallas(patches: BezierPatches, start, direction,
     rays_t = rays.T
     counts, lists = tile_block_lists(patches, rays_t, 128, block_p, use_aabb)
     dist8, idx8 = _sweep_select_call(
-        counts, lists, rays_t, patch_t, votes, bool(interpret), block_p
+        counts, lists, rays_t, patch_t, votes, bool(interpret), block_p,
+        half_gate,
     )
     best = dist8[0, :R]
     win = idx8[0, :R]
