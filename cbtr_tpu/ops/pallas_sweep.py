@@ -79,6 +79,10 @@ BLOCK_P = 32
 # every shape: 14.34 / 37.80 / 42.55 ms at block 16.  The per-block
 # vector->scalar max + SMEM done-flag serializes the loop, and any tile
 # containing a ray that never finds a hit can never exit.  Rejected.)
+# Re-verified in round 5 AFTER the AABB list leg shortened the candidate
+# lists 2.7x (the 8-vs-16 tradeoff could have flipped): steady-state
+# inner=8 medians, fused P=450 8/16/32 = 6.15/5.97/6.37 ms, winner P=1800
+# 14.75/13.47/15.35 ms -> 16 still optimal for both paths.
 FUSED_BLOCK_P = 16
 WINNER_BLOCK_P = 16
 
