@@ -128,9 +128,11 @@ def main() -> None:
     s, d = cone_lattice_rays(n_rays, args.cone_deg)
 
     topo, p0 = topology_from_mesh(mesh)
-    loss0_v, img0 = design_loss(p0, topo, s, d, screen,
-                                jnp.ones((res, res), jnp.float32),
-                                resolution=res, extent=extent)
+    # flux-calibration render: only img0's total is consumed (the target is
+    # scaled to the flux the initial lens actually delivers)
+    _, img0 = design_loss(p0, topo, s, d, screen,
+                          jnp.ones((res, res), jnp.float32),
+                          resolution=res, extent=extent)
     flux = float(np.asarray(img0).sum())
     ring = structured_target(args.target, res, extent, args.ring_r,
                              args.ring_sigma)
@@ -140,7 +142,9 @@ def main() -> None:
     loss0 = float(loss0)
 
     t0 = time.perf_counter()
-    best = {"loss": float("inf"), "params": None}
+    # track the best loss + its step for the record (fit_design itself
+    # returns the best-iterate params)
+    best = {"loss": float("inf")}
 
     def track(i, l):
         if l < best["loss"]:

@@ -74,13 +74,15 @@ class Config:
 
     # Opt-in sub-f32 sweep experiment (round-5 verdict ask #4; default OFF
     # preserves exact f32 sweep arithmetic): run the Pallas sweep tile's
-    # candidate evaluation (bracket, Newton refinement, acceptance) in
-    # bfloat16, keeping the emitted distance f32 and the differentiable
-    # winner recompute exact-f32 as always.  bf16's 8-bit mantissa is far
-    # below the acceptance epsilons (1e-5 relative ~ 1/3 ulp at magnitude
-    # 1), so acceptance flips are expected — recompute_reject_count and the
-    # BENCH agreement row quantify them; see BENCH_r05 bf16_sweep for the
-    # measured rate/agreement verdict.
+    # Bernstein-interpolate / directional-derivative POLYNOMIAL
+    # ACCUMULATIONS in bfloat16; brackets, compares, and acceptance stay
+    # f32 (a full-bf16 tile does not compile — Mosaic rejects the bf16
+    # compare layout), the emitted distance is f32, and the differentiable
+    # winner recompute is exact-f32 as always.  bf16's 8-bit mantissa is
+    # far below the acceptance epsilons, so acceptance flips are expected —
+    # recompute_reject_count and the BENCH agreement row quantify them;
+    # see BENCH_r05 bf16_sweep for the measured rate/agreement verdict
+    # (0.83x, slower — rejected; PERF.md round-5 item 3).
     #
     # TRACE-TIME CAPTURE: read during trace — set BEFORE the first
     # jit/Pallas call in the process.

@@ -56,8 +56,9 @@ def fit_lens(scene, target, steps: int, checkpoint_dir: Optional[str] = None,
         if ckpt is not None:
             params, start_step = load_params(ckpt, LensParams)
 
+    use_opt = optimizer is not None
     opt_state = None
-    if optimizer is not None:
+    if use_opt:
         import optax
 
         if optimizer == "adam":
@@ -74,7 +75,7 @@ def fit_lens(scene, target, steps: int, checkpoint_dir: Optional[str] = None,
         )
     losses = []
     for step in range(start_step, steps):
-        if opt_state is not None:
+        if use_opt:
             params, opt_state, loss = step_fn_opt(
                 params, opt_state, ray_s, ray_d
             )

@@ -6,7 +6,7 @@ Computes, for every (ray, patch) pair, the gate-OFF candidate code
 decomposition).  Same math as `sweep_codes_xla`, hand-laid-out for the VPU:
 
 * **patches live on the sublane axis (8/tile), rays on the lane axis
-  (128/tile)**, so every per-pair quantity is a [TILE_P, TILE_R] f32 tile —
+  (128/tile)**, so every per-pair quantity is an [8, TILE_R] f32 tile —
   exactly one vreg.  This orientation makes the bounding-sphere tile cull
   far more selective than the transposed one: a tile is skippable iff *8*
   spatially-local patches miss *128* coherent rays (83% of tiles skip on
@@ -50,10 +50,8 @@ _N_ROWS = 64       # padded to a multiple of the 128-lane register width / 2
 _WHAT_NONE = 3
 _WHAT_INTERSECT = 4
 
-# tile shape: patches on sublanes x 128 rays on lanes (see module
-# docstring); TILE_P survives only as the historical name for the f32
-# sublane minimum (bench.py's host replay of the cull still imports it).
-TILE_P = 8
+# tile shape: patches on sublanes (8 = the f32 sublane minimum), 128 rays
+# on lanes (see module docstring)
 TILE_R = 128
 
 # LEGACY default block size, retained for the generic helpers'
@@ -502,19 +500,27 @@ def _tile_lists_core(center, radius, lo, hi, rays_t, block_p: int,
 
 
 def _patch_boxes(cp, center, radius):
-    """Per-patch AABB enclosing everything the packed sphere encloses.
+    """Per-patch AABB: control-net box expanded per axis by the sphere's
+    slack (radius - r_hull, the follow-side/ray-distance inflation
+    patch_spheres applied).
 
     cp [P,10,3] control nets, center/radius the packed (inflated) spheres.
-    The accepted-candidate region of a patch is assumed ⊆ sphere(center,
-    radius) = hull ⊕ ball(slack) where slack = radius - r_hull is the
-    follow-side/ray-distance inflation patch_spheres applied.  Then
-    region ⊆ box(control net) ⊕ ball(slack) ⊆ box expanded by slack per
-    axis — so culling on (sphere AND this box) is exactly as safe as
-    culling on the sphere alone, while the box is far tighter than the
-    sphere in a block's two thin directions (a merged 16-patch sphere
-    covers a ball around a strip of surface; the union of these boxes
-    hugs the strip).  Padding rows (cp = 0, radius = 0) yield lo = hi = 0
-    and are excluded by the radius mask downstream."""
+    This leg assumes the accepted-candidate region ⊆ hull ⊕ ball(slack) —
+    a STRICTLY TIGHTER model than the sphere leg's ball(center, radius)
+    (hull ⊕ ball(slack) ⊂ ball(center, r_hull + slack); e.g. a near-flat
+    patch's sphere reaches 1.25*r_hull off-plane while box ⊕ slack reaches
+    only 0.25*r_hull there).  Neither model is provable — the inflation
+    probe measured retry candidates converging up to 66x r_hull out, so
+    ANY finite bound is empirical (see patch_spheres) — and the AABB leg
+    is validated the same way the sphere bound is: bit-identical winners
+    at every bench shape, the always-on Pallas/XLA agreement assertions,
+    and the CPU fixture suite (which runs the identical interpret-mode
+    cull).  `use_aabb=False` on the sweep entry points restores the
+    sphere-only cull for cross-checks.  The payoff: the box hugs a
+    surface strip in its two thin directions where a merged 16-patch
+    sphere covers a ball (executed pairs 0.41 -> 0.15 at the bench
+    shape).  Padding rows (cp = 0, radius = 0) yield lo = hi = 0 and are
+    excluded by the radius mask downstream."""
     r_hull = jnp.max(
         jnp.linalg.norm(cp - center[:, None, :], axis=-1), axis=-1
     )
